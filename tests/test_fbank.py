@@ -1,0 +1,132 @@
+"""Kaldi-fbank frontend tests.
+
+With no torchaudio in the image, the golden is an *independent* float64
+direct-DFT implementation written inline here (explicit per-frame loops,
+naive O(N^2) DFT) plus analytic known-answer checks (frame counts, mel bank
+geometry, sine-tone peak location), and numpy/JAX cross-checks.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from tpat_tpu.ops import fbank as fb
+
+
+def naive_fbank(wave, cfg: fb.FbankConfig):
+    """Literal float64 spec implementation with explicit loops and a naive
+    DFT — an independent math path to validate the vectorized versions."""
+    shift, size, nfft = cfg.window_shift, cfg.window_size, cfg.padded_window_size
+    nframes = 1 + (len(wave) - size) // shift
+    window = np.array(
+        [0.5 - 0.5 * math.cos(2 * math.pi * i / (size - 1)) for i in range(size)]
+    )
+    bank = fb.mel_banks(cfg).astype(np.float64)
+    out = np.zeros((nframes, cfg.num_mel_bins))
+    for f in range(nframes):
+        frame = wave[f * shift : f * shift + size].astype(np.float64).copy()
+        frame -= frame.mean()
+        pre = frame.copy()
+        for i in range(size - 1, 0, -1):
+            pre[i] = frame[i] - cfg.preemphasis * frame[i - 1]
+        pre[0] = frame[0] - cfg.preemphasis * frame[0]
+        pre *= window
+        padded = np.zeros(nfft)
+        padded[:size] = pre
+        # naive DFT power spectrum
+        k = np.arange(nfft // 2 + 1)[:, None]
+        n = np.arange(nfft)[None, :]
+        re = (padded[None, :] * np.cos(-2 * math.pi * k * n / nfft)).sum(axis=1)
+        im = (padded[None, :] * np.sin(-2 * math.pi * k * n / nfft)).sum(axis=1)
+        power = re ** 2 + im ** 2
+        mel = bank @ power
+        out[f] = np.log(np.maximum(mel, fb.EPSILON))
+    return out
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return fb.FbankConfig(sample_rate=16000, num_mel_bins=24)
+
+
+def test_window_properties(cfg):
+    assert cfg.window_shift == 160
+    assert cfg.window_size == 400
+    assert cfg.padded_window_size == 512
+    # snip_edges frame count: 1 + (N - 400) // 160
+    assert cfg.num_frames(16000) == 98
+    assert cfg.num_frames(400) == 1
+    assert cfg.num_frames(399) == 0
+    # 10 s at 16 kHz -> 998 frames (the reference's comment '998, 128',
+    # dataset.py:208)
+    assert fb.FbankConfig().num_frames(160000) == 998
+
+
+def test_mel_bank_geometry(cfg):
+    bank = fb.mel_banks(cfg)
+    assert bank.shape == (24, 257)
+    # nyquist column zeroed
+    np.testing.assert_array_equal(bank[:, -1], 0.0)
+    # every filter is nonnegative and has some support
+    assert (bank >= 0).all()
+    assert (bank.sum(axis=1) > 0).all()
+    # filters peak in increasing frequency order
+    peaks = bank.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all()
+
+
+def test_sine_tone_peak(cfg):
+    # a pure 1 kHz tone must put its energy in the filter whose center is
+    # closest to 1 kHz
+    sr = cfg.sample_rate
+    t = np.arange(sr) / sr
+    wave = np.sin(2 * math.pi * 1000.0 * t).astype(np.float32)
+    mel = fb.fbank_numpy(wave, cfg)
+    hot = mel.mean(axis=0).argmax()
+
+    nyq = sr / 2
+    mlo, mhi = fb.mel_scale(cfg.low_freq), fb.mel_scale(nyq)
+    centers_mel = mlo + (np.arange(cfg.num_mel_bins) + 1) * (mhi - mlo) / (
+        cfg.num_mel_bins + 1
+    )
+    want = np.abs(centers_mel - fb.mel_scale(1000.0)).argmin()
+    assert abs(int(hot) - int(want)) <= 1
+
+
+def test_numpy_matches_naive_dft(cfg):
+    rng = np.random.default_rng(0)
+    wave = rng.normal(size=4000).astype(np.float32)
+    got = fb.fbank_numpy(wave, cfg)
+    want = naive_fbank(wave, cfg)
+    assert got.shape == want.shape == (23, 24)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_jax_matches_numpy(cfg):
+    import jax
+
+    rng = np.random.default_rng(1)
+    waves = rng.normal(size=(3, 4000)).astype(np.float32)
+    got = np.asarray(jax.jit(lambda w: fb.fbank_jax(w, cfg))(waves))
+    for b in range(3):
+        want = fb.fbank_numpy(waves[b], cfg)
+        np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=1e-4)
+
+
+def test_pad_or_crop():
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    padded = fb.pad_or_crop(x, 5)
+    assert padded.shape == (5, 4)
+    np.testing.assert_array_equal(padded[3:], x.min())
+    lr = fb.pad_or_crop(x, 6, pad_left=2)
+    np.testing.assert_array_equal(lr[:2], x.min())
+    np.testing.assert_array_equal(lr[2:5], x)
+    cropped = fb.pad_or_crop(x, 2)
+    np.testing.assert_array_equal(cropped, x[:2])
+
+
+def test_normalize():
+    x = np.ones((2, 2), dtype=np.float32)
+    got = fb.normalize(x, mean=-1.0, std=4.0)
+    np.testing.assert_allclose(got, (1.0 + 1.0) / 8.0)

@@ -1,0 +1,171 @@
+"""Parity of the JAX AudioViT against an independent torch restatement of
+the reference math (tests/torch_reference.py): logits, pruning indices and
+per-block attention scores must match within float32 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from tpat_tpu.config import ViTConfig
+from tpat_tpu.models.vit import AudioViT
+from tpat_tpu.utils.torch_import import (
+    audiomae_params_from_state_dict,
+    ast_params_from_state_dict,
+    overlay_params,
+)
+from tests.torch_reference import RefModel
+
+DIM, DEPTH, HEADS, NC = 192, 4, 3, 10
+GRID = (8, 8)  # (time, freq) patches -> input (B, 1, 128, 128)
+
+
+def _randomize(model: torch.nn.Module, seed: int = 0):
+    # qkv weights get a large scale so attention is sharp and importance
+    # scores are decisively separated — random near-uniform attention would
+    # make topk ordering ill-conditioned at float32 across frameworks.
+    g = torch.Generator().manual_seed(seed)
+    sd = model.state_dict()
+    for k, v in sd.items():
+        scale = 1.0 if "qkv" in k else 0.05
+        sd[k] = torch.randn(v.shape, generator=g) * scale
+    model.load_state_dict(sd)
+    return model
+
+
+def _make_pair(num_extra, importance, pooling, use_final_norm, keep, drop_loc):
+    torch_model = _randomize(
+        RefModel(
+            dim=DIM,
+            depth=DEPTH,
+            num_heads=HEADS,
+            num_classes=NC,
+            grid=GRID,
+            num_extra_tokens=num_extra,
+            importance=importance,
+            pooling=pooling,
+            use_final_norm=use_final_norm,
+        )
+    ).eval()
+
+    cfg = ViTConfig(
+        embed_dim=DIM,
+        depth=DEPTH,
+        num_heads=HEADS,
+        num_classes=NC,
+        target_length=GRID[0] * 16,
+        num_mel_bins=GRID[1] * 16,
+        num_extra_tokens=num_extra,
+        importance=importance,
+        pooling=pooling,
+        pos_embed_mode="pre_cls" if num_extra == 1 else "post_cat",
+        use_final_norm=use_final_norm,
+        frozen_pos_embed=(num_extra == 1),
+        drop_path_rate=0.0,
+        drop_loc=drop_loc,
+        base_keep_rate=keep,
+    )
+    model = AudioViT(cfg)
+
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    if num_extra == 1:
+        imported = audiomae_params_from_state_dict(sd, cfg, ckpt_grid=GRID)
+    else:
+        sd2 = {}
+        for k, v in sd.items():
+            if k.startswith("mlp_head.0."):
+                sd2[k.replace("mlp_head.0.", "mlp_head.0.")] = v
+            elif k.startswith("mlp_head.1."):
+                sd2[k] = v
+            else:
+                sd2["v." + k] = v
+        imported = ast_params_from_state_dict(sd2, cfg)
+
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 1, cfg.target_length, cfg.num_mel_bins))
+    init = model.init({"params": rng}, x0)["params"]
+    params = overlay_params(init, imported)
+    return torch_model, model, params, cfg
+
+
+@pytest.mark.parametrize("keep", [1.0, 0.7, 0.5])
+def test_audiomae_flavor_parity(keep):
+    drop_loc = (1, 2)
+    torch_model, model, params, cfg = _make_pair(
+        1, "patch_mean", "gap_fcnorm", False, keep, drop_loc
+    )
+    x = np.random.default_rng(1).normal(size=(3, 1, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        ref, ref_feats = torch_model(
+            torch.from_numpy(x), keep_rates=cfg.keep_rates, collect=True
+        )
+    got, feats = model.apply(
+        {"params": params}, jnp.asarray(x), extract_features=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), ref.numpy(), rtol=1e-3, atol=2e-4
+    )
+    for k, v in ref_feats.items():
+        assert k in feats, f"missing feature {k}"
+        if k.endswith("topk_idx"):
+            np.testing.assert_array_equal(np.asarray(feats[k]), v.numpy())
+        else:
+            np.testing.assert_allclose(
+                np.asarray(feats[k]), v.numpy(), rtol=1e-3, atol=1e-6
+            )
+
+
+@pytest.mark.parametrize("keep", [1.0, 0.6])
+def test_ast_flavor_parity(keep):
+    drop_loc = (1, 3)
+    torch_model, model, params, cfg = _make_pair(
+        2, "cls", "cls_dist", True, keep, drop_loc
+    )
+    x = np.random.default_rng(2).normal(size=(2, 1, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(x), keep_rates=cfg.keep_rates)
+    got = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), rtol=1e-3, atol=2e-4)
+
+
+def test_masked_path_matches_static():
+    """forward_masked (traced keep rates, full shapes) must reproduce the
+    static physically-pruned logits."""
+    _, model, params, cfg = _make_pair(
+        1, "patch_mean", "gap_fcnorm", False, 0.6, (1, 2)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 1, 128, 128)).astype(np.float32)
+    )
+    static = model.apply({"params": params}, x)
+    masked = model.apply(
+        {"params": params},
+        x,
+        jnp.asarray(cfg.keep_rates, dtype=jnp.float32),
+        method=AudioViT.forward_masked,
+    )
+    np.testing.assert_allclose(
+        np.asarray(masked), np.asarray(static), rtol=1e-3, atol=2e-4
+    )
+
+
+def test_masked_path_traced_keep_rates_no_recompile():
+    """The masked step compiles once and accepts varying keep rates."""
+    _, model, params, cfg = _make_pair(
+        1, "patch_mean", "gap_fcnorm", False, 0.5, (1, 2)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, 1, 128, 128)).astype(np.float32)
+    )
+
+    @jax.jit
+    def step(kr):
+        return model.apply({"params": params}, x, kr, method=AudioViT.forward_masked)
+
+    out1 = step(jnp.asarray([1.0, 0.9, 0.8, 1.0]))
+    out2 = step(jnp.asarray([1.0, 0.55, 0.71, 1.0]))
+    assert out1.shape == out2.shape == (2, 10)
+    assert step._cache_size() == 1

@@ -1,0 +1,315 @@
+"""Typed configuration for tpat_tpu.
+
+The reference drives everything through argparse flags + hard-coded
+per-dataset tables (``/root/reference/audiomae/main_finetune.py:254-258``,
+``/root/reference/ast/src/run.py:150-169``).  Here those become frozen
+dataclasses with per-dataset presets so configs are hashable (usable as
+static args under ``jax.jit``) and self-documenting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Model config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Unified ViT trunk covering both reference model families.
+
+    The two stacks in the reference differ only in (a) number of extra
+    tokens, (b) the attention-importance reduction, (c) the pooling head and
+    (d) where the positional embedding is added:
+
+    - AudioMAE flavor (``/root/reference/audiomae/models_vit.py:49-527``):
+      1 CLS token, importance = patch-to-patch attention averaged over heads
+      and query rows (``models_vit.py:113``), mean-pool non-CLS + fc_norm
+      head (``models_vit.py:387-389``), pos-embed added to patches before
+      the CLS concat (``models_vit.py:357-362``), frozen sin-cos pos-embed.
+
+    - AST flavor (``/root/reference/ast/src/models/ast_models.py:62-508``):
+      2 extra tokens (CLS + distill), importance = CLS-row attention
+      averaged over heads (``ast_models.py:124``), ``(x0 + x1)/2`` after a
+      final LayerNorm, then LayerNorm+Linear mlp_head
+      (``ast_models.py:500-503``), pos-embed added after the concat
+      (``ast_models.py:463-466``), learnable pos-embed.
+    """
+
+    # Trunk
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    layer_norm_eps: float = 1e-6
+    patch_size: int = 16
+    in_chans: int = 1
+    num_classes: int = 527
+
+    # Input geometry: spectrogram is (B, 1, target_length, num_mel_bins)
+    target_length: int = 1024
+    num_mel_bins: int = 128
+
+    # Family-specific policy
+    num_extra_tokens: int = 1  # 1 = AudioMAE (CLS), 2 = AST (CLS + dist)
+    importance: str = "patch_mean"  # 'patch_mean' (AudioMAE) | 'cls' (AST)
+    pooling: str = "gap_fcnorm"  # 'gap_fcnorm' (AudioMAE) | 'cls_dist' (AST)
+    pos_embed_mode: str = "pre_cls"  # 'pre_cls' (AudioMAE) | 'post_cat' (AST)
+    use_final_norm: bool = False  # AST applies v.norm before pooling
+    frozen_pos_embed: bool = True  # AudioMAE: fixed sin-cos; AST: learnable
+
+    # Regularization
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+
+    # Pruning: per-block default keep-rates baked from (drop_loc,
+    # base_keep_rate) exactly like models_vit.py:283-293.
+    drop_loc: Tuple[int, ...] = (3, 6, 9)
+    base_keep_rate: float = 1.0
+
+    # Compute policy (TPU): bfloat16 matmuls, float32 softmax/accumulation.
+    compute_dtype: str = "float32"
+
+    # ---- derived helpers -------------------------------------------------
+
+    @property
+    def grid_t(self) -> int:
+        return self.target_length // self.patch_size
+
+    @property
+    def grid_f(self) -> int:
+        return self.num_mel_bins // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_t * self.grid_f
+
+    @property
+    def keep_rates(self) -> Tuple[float, ...]:
+        """Per-block default keep rate (models_vit.py:283-293)."""
+        rates = [1.0] * self.depth
+        for loc in self.drop_loc:
+            rates[loc] = self.base_keep_rate
+        return tuple(rates)
+
+    def tokens_per_block(
+        self, keep_rates: Optional[Tuple[float, ...]] = None
+    ) -> Tuple[Tuple[int, int], ...]:
+        """Static (n_in, n_patches_out) token counts entering/leaving each
+        block under physical pruning.
+
+        num_left = ceil(keep * (N - extra)) per models_vit.py:104.
+        """
+        rates = self.keep_rates if keep_rates is None else keep_rates
+        shapes = []
+        n_patches = self.num_patches
+        for r in rates:
+            n_in = n_patches + self.num_extra_tokens
+            if r < 1.0:
+                n_patches = math.ceil(r * n_patches)
+            shapes.append((n_in, n_patches))
+        return tuple(shapes)
+
+
+def audiomae_vit_base(**kw) -> ViTConfig:
+    """AudioMAE finetune ViT-B/16 (models_vit.py:537-541 + main_finetune.py
+    patch-embed/pos-embed surgery at :374-382)."""
+    return ViTConfig(
+        embed_dim=768,
+        depth=12,
+        num_heads=12,
+        num_extra_tokens=1,
+        importance="patch_mean",
+        pooling="gap_fcnorm",
+        pos_embed_mode="pre_cls",
+        use_final_norm=False,
+        frozen_pos_embed=True,
+        **kw,
+    )
+
+
+def audiomae_vit_small(**kw) -> ViTConfig:
+    """models_vit.py:531-535."""
+    return ViTConfig(
+        embed_dim=384,
+        depth=12,
+        num_heads=6,
+        num_extra_tokens=1,
+        importance="patch_mean",
+        pooling="gap_fcnorm",
+        pos_embed_mode="pre_cls",
+        use_final_norm=False,
+        frozen_pos_embed=True,
+        **kw,
+    )
+
+
+def audiomae_vit_large(**kw) -> ViTConfig:
+    """models_vit.py:544-548."""
+    return ViTConfig(
+        embed_dim=1024,
+        depth=24,
+        num_heads=16,
+        num_extra_tokens=1,
+        importance="patch_mean",
+        pooling="gap_fcnorm",
+        pos_embed_mode="pre_cls",
+        use_final_norm=False,
+        frozen_pos_embed=True,
+        **kw,
+    )
+
+
+def ast_vit_base(**kw) -> ViTConfig:
+    """AST DeiT-B distilled backbone (ast_models.py:239-508)."""
+    kw.setdefault("drop_path_rate", 0.0)
+    return ViTConfig(
+        embed_dim=768,
+        depth=12,
+        num_heads=12,
+        num_extra_tokens=2,
+        importance="cls",
+        pooling="cls_dist",
+        pos_embed_mode="post_cat",
+        use_final_norm=True,
+        frozen_pos_embed=False,
+        **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data / dataset presets
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Per-dataset constants (main_finetune.py:254-258)."""
+
+    name: str
+    num_classes: int
+    target_length: int
+    norm_mean: float
+    norm_std: float
+    multilabel: bool
+    use_noise: bool
+    loss_type: str  # 'bce' | 'ce'
+    num_mel_bins: int = 128
+    # Train-time augmentation defaults (from the ft_*.sh run scripts).
+    freqm: int = 0
+    timem: int = 0
+    mixup: float = 0.0
+    roll_mag_aug: bool = False
+
+
+DATASET_PRESETS = {
+    "audioset": DataConfig(
+        name="audioset",
+        num_classes=527,
+        target_length=1024,
+        norm_mean=-4.2677393,
+        norm_std=4.5689974,
+        multilabel=True,
+        use_noise=False,
+        loss_type="bce",
+        freqm=48,
+        timem=192,
+        mixup=0.5,
+        roll_mag_aug=True,
+    ),
+    "esc50": DataConfig(
+        name="esc50",
+        num_classes=50,
+        target_length=512,
+        norm_mean=-6.6268077,
+        norm_std=5.358466,
+        multilabel=False,
+        use_noise=False,
+        loss_type="ce",
+        freqm=24,
+        timem=96,
+        mixup=0.0,
+    ),
+    "spc2": DataConfig(
+        name="spc2",
+        num_classes=35,
+        target_length=128,
+        norm_mean=-6.845978,
+        norm_std=5.5654526,
+        multilabel=True,
+        use_noise=True,
+        loss_type="bce",
+        freqm=48,
+        timem=48,
+        mixup=0.3,
+    ),
+    "voxceleb1": DataConfig(
+        name="voxceleb1",
+        num_classes=1251,
+        target_length=1024,
+        norm_mean=-6.370,
+        norm_std=3.074,
+        multilabel=False,
+        use_noise=True,
+        loss_type="ce",
+        freqm=48,
+        timem=192,
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Training config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters mirroring the reference knob names.
+
+    - LR rule: ``lr = blr * eff_batch / 256`` (main_finetune.py:437-441).
+    - AdamW betas (0.9, 0.95) over layer-wise-decayed param groups
+      (main_finetune.py:464-468, util/lr_decay.py).
+    - Per-iteration warmup + half-cosine schedule (util/lr_sched.py:9-21).
+    - Keep-rate cosine anneal over `shrink_epochs` starting at
+      `shrink_start_epoch` (engine_finetune.py:29-53).
+    - Augmentations force-disabled once shrink begins
+      (main_finetune.py:518-522).
+    """
+
+    batch_size: int = 64  # per-host global batch; sharded over the mesh
+    epochs: int = 120
+    accum_iter: int = 1
+    blr: float = 1e-3
+    lr: Optional[float] = None
+    min_lr: float = 1e-6
+    warmup_epochs: float = 5.0
+    weight_decay: float = 1e-4
+    layer_decay: float = 0.75
+    clip_grad: Optional[float] = None
+    seed: int = 0
+
+    # Pruning schedule
+    base_keep_rate: float = 1.0
+    drop_loc: Tuple[int, ...] = (3, 6, 9)
+    shrink_start_epoch: int = 10
+    shrink_epochs: int = 0
+
+    # Finetune-time structured masking (regularization)
+    mask_t_prob: float = 0.0
+    mask_f_prob: float = 0.0
+
+    first_eval_ep: int = 0
+    dist_eval: bool = False
+
+    def resolved_lr(self, eff_batch_size: int) -> float:
+        if self.lr is not None:
+            return self.lr
+        return self.blr * eff_batch_size / 256.0

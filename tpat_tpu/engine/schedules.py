@@ -1,0 +1,124 @@
+"""Training schedules: keep-rate cosine anneal, warmup+cosine LR, and
+BEiT layer-wise LR decay scales.
+
+Golden semantics from:
+- keep-rate: ``/root/reference/audiomae/engine_finetune.py:29-53`` (and its
+  duplicate ``ast/src/traintest.py:25-49``)
+- LR: ``/root/reference/audiomae/util/lr_sched.py:9-21`` (per-iteration
+  fractional epoch)
+- layer decay: ``/root/reference/audiomae/util/lr_decay.py:15-75``
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def scheduled_keep_rates(
+    iters: int,
+    epoch: int,
+    *,
+    shrink_start_epoch: int,
+    total_epochs: int,
+    iters_per_epoch: int,
+    base_keep_rate: float,
+    max_keep_rate: float = 1.0,
+    num_blocks: int = 12,
+    drop_loc: Tuple[int, ...] = (3, 6, 9),
+) -> Optional[Tuple[float, ...]]:
+    """Per-iteration keep-rate tuple (engine_finetune.py:29-53).
+
+    - epoch < shrink_start_epoch: all 1.0 (no pruning yet)
+    - shrink phase: cosine from max_keep_rate -> base_keep_rate at the
+      drop_loc blocks; note ``total_epochs`` here means
+      shrink_start_epoch + shrink_epochs, as called at
+      engine_finetune.py:96-99.
+    - epoch >= total_epochs: None (model falls back to its baked per-block
+      default keep rates).
+    """
+    if epoch < shrink_start_epoch:
+        return (1.0,) * num_blocks
+    if epoch >= total_epochs:
+        return None
+    total_iters = iters_per_epoch * (total_epochs - shrink_start_epoch)
+    it = iters - iters_per_epoch * shrink_start_epoch
+    target = base_keep_rate + (max_keep_rate - base_keep_rate) * (
+        math.cos(it / total_iters * math.pi) + 1.0
+    ) * 0.5
+    rates = [1.0] * num_blocks
+    for i in drop_loc:
+        rates[i] = target
+    return tuple(rates)
+
+
+def schedule_phase(
+    epoch: int, *, shrink_start_epoch: int, shrink_epochs: int,
+    base_keep_rate: float,
+) -> str:
+    """Which compiled train-step variant an epoch uses.
+
+    'dense'  — pre-shrink (all keep rates exactly 1.0): static dense graph.
+    'anneal' — shrink phase: keep rates change per iteration -> masked path.
+    'static' — post-shrink: baked default keep rates -> static pruned graph.
+    """
+    if base_keep_rate >= 1.0:
+        return "dense"
+    if epoch < shrink_start_epoch:
+        return "dense"
+    if epoch < shrink_start_epoch + shrink_epochs:
+        return "anneal"
+    return "static"
+
+
+def warmup_cosine_lr(
+    fractional_epoch: float,
+    *,
+    lr: float,
+    min_lr: float,
+    warmup_epochs: float,
+    total_epochs: int,
+):
+    """Per-iteration warmup + half-cosine decay (util/lr_sched.py:9-21).
+
+    Accepts a Python float or a traced jnp scalar.
+    """
+    e = fractional_epoch
+    warm = lr * e / max(warmup_epochs, 1e-8)
+    denom = max(total_epochs - warmup_epochs, 1e-8)
+    cos = min_lr + (lr - min_lr) * 0.5 * (
+        1.0 + jnp.cos(math.pi * (e - warmup_epochs) / denom)
+    )
+    return jnp.where(e < warmup_epochs, warm, cos)
+
+
+def layer_id_for_vit(path: Tuple[str, ...], num_layers: int) -> int:
+    """BEiT layer id from a flax param path (util/lr_decay.py:64-75).
+
+    cls/dist/pos/patch-embed -> 0; blocks_i -> i+1; head etc -> num_layers.
+    """
+    top = path[0]
+    if top in ("cls_token", "dist_token", "pos_embed", "patch_embed"):
+        return 0
+    if top.startswith("blocks_"):
+        return int(top.split("_")[1]) + 1
+    return num_layers
+
+
+def layer_decay_scale(path: Tuple[str, ...], depth: int, layer_decay: float) -> float:
+    """lr scale = layer_decay ** (num_layers - layer_id), with num_layers =
+    depth + 1 (util/lr_decay.py:23-25)."""
+    num_layers = depth + 1
+    lid = layer_id_for_vit(path, num_layers)
+    return layer_decay ** (num_layers - lid)
+
+
+def weight_decay_mask(path: Tuple[str, ...], leaf) -> bool:
+    """True where weight decay applies: excludes all 1-D params (norms,
+    biases) and the model-specific no-decay list {pos_embed, cls_token}
+    (util/lr_decay.py:31-37, models_vit.py:330-332)."""
+    if path[0] in ("pos_embed", "cls_token", "dist_token"):
+        return False
+    return getattr(leaf, "ndim", 0) > 1

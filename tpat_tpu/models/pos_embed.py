@@ -1,0 +1,103 @@
+"""Positional embeddings and checkpoint pos-embed surgery.
+
+Re-derivations of ``/root/reference/audiomae/util/pos_embed.py`` in numpy:
+2D sin-cos grids (MoCo-v3 style) and the time-axis crop used when adapting
+an AudioSet-pretrained (8, 64) grid to a shorter target length
+(``pos_embed.py:139-159``), plus the AST DeiT center-crop adaptation
+(``ast/src/models/ast_models.py:308-330, 362-381``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+
+def sincos_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
+    """(M,) positions -> (M, embed_dim) sin-cos embedding.
+
+    Matches ``util/pos_embed.py:67-85``: omega = 1/10000^(2i/D), concat
+    [sin, cos] along the feature axis.
+    """
+    assert embed_dim % 2 == 0
+    omega = np.arange(embed_dim // 2, dtype=np.float32)
+    omega /= embed_dim / 2.0
+    omega = 1.0 / 10000 ** omega
+    out = np.einsum("m,d->md", pos.reshape(-1).astype(np.float32), omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+
+def sincos_2d(
+    embed_dim: int, grid_hw: Tuple[int, int], cls_token: bool = False
+) -> np.ndarray:
+    """2D sin-cos embedding over an (H, W) grid, row-major (h outer, w
+    inner), first half of channels encodes h, second half w
+    (``util/pos_embed.py:38-64``)."""
+    h, w = grid_hw
+    grid_h = np.arange(h, dtype=np.float32)
+    grid_w = np.arange(w, dtype=np.float32)
+    grid = np.meshgrid(grid_w, grid_h)  # w first, like the reference
+    grid = np.stack(grid, axis=0).reshape([2, 1, h, w])
+    emb_h = sincos_1d(embed_dim // 2, grid[0])
+    emb_w = sincos_1d(embed_dim // 2, grid[1])
+    emb = np.concatenate([emb_h, emb_w], axis=1)
+    if cls_token:
+        emb = np.concatenate([np.zeros([1, embed_dim], dtype=emb.dtype), emb], axis=0)
+    return emb
+
+
+def crop_time_audio_pos_embed(
+    pos_embed: np.ndarray,
+    orig_size: Tuple[int, int],
+    new_size: Tuple[int, int],
+    num_extra_tokens: int = 1,
+) -> np.ndarray:
+    """AudioMAE checkpoint surgery (``util/pos_embed.py:139-159``).
+
+    pos_embed: (1, extra + orig_h*orig_w, D).  The patch rows are viewed as
+    an (orig_h, orig_w) grid — the reference treats the AudioSet grid as
+    (8, 64) — and the *second* axis is cropped to new_size[1].  Extra-token
+    rows are preserved at the front.
+    """
+    if orig_size == new_size:
+        return pos_embed
+    d = pos_embed.shape[-1]
+    extras = pos_embed[:, :num_extra_tokens, :]
+    patches = pos_embed[:, num_extra_tokens:, :]
+    patches = patches.reshape(-1, orig_size[0], orig_size[1], d)
+    if new_size[1] > orig_size[1]:
+        raise ValueError(
+            f"time axis can only be cropped, got {orig_size} -> {new_size}"
+        )
+    patches = patches[:, :, : new_size[1], :]
+    patches = patches.reshape(1, new_size[0] * new_size[1], d)
+    return np.concatenate([extras, patches], axis=1)
+
+
+def center_crop_time_ast_pos_embed(
+    pos_embed: np.ndarray,
+    t_dim: int,
+    f_dim: int = 8,
+    num_extra_tokens: int = 2,
+) -> np.ndarray:
+    """AST AudioSet-checkpoint surgery (``ast_models.py:362-381``).
+
+    The 512 patch rows are viewed as (768-d, 8, 64) and the time axis is
+    center-cropped to t_dim: columns [32 - t_dim//2, 32 - t_dim//2 + t_dim).
+    """
+    if f_dim != 8:
+        raise ValueError("AST AudioSet grid is (8, 64); f_dim must be 8")
+    d = pos_embed.shape[-1]
+    extras = pos_embed[:, :num_extra_tokens, :]
+    patches = pos_embed[:, num_extra_tokens:, :]  # (1, 512, D)
+    # reshape(1, 512, D).transpose(1,2).reshape(1, D, 8, 64) in the
+    # reference == channel-last view (1, 8, 64, D) here.
+    grid = patches.reshape(1, 8, 64, d)
+    if t_dim < 64:
+        start = 32 - int(t_dim / 2)
+        grid = grid[:, :, start : start + t_dim, :]
+    elif t_dim > 64:
+        raise ValueError(f"t_dim={t_dim} > 64 not supported (ast_models.py:371)")
+    patches = grid.reshape(1, 8 * t_dim, d)
+    return np.concatenate([extras, patches], axis=1)

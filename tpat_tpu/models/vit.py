@@ -1,0 +1,557 @@
+"""Unified token-pruning audio Vision Transformer (flax).
+
+One trunk covers both reference model families (see ``ViTConfig`` for the
+family knobs and reference citations):
+
+- AudioMAE finetune ViT (``/root/reference/audiomae/models_vit.py``)
+- AST DeiT-distilled ViT (``/root/reference/ast/src/models/ast_models.py``)
+
+Pruning semantics (shared by both, ``models_vit.py:100-135, 198-203``):
+after the attention residual of a pruning block, keep the
+``ceil(keep_rate * P)`` highest-importance patch tokens (importance comes
+from the attention map), preserving extra tokens at the front and ordering
+kept tokens by descending importance; the MLP then runs on the reduced
+sequence.
+
+Two TPU execution modes:
+
+- ``__call__`` / ``forward_features``: **static** keep-rates known at trace
+  time -> physical gather, every sequence length a static shape, one XLA
+  compilation per configuration.  This is the inference / post-anneal
+  training path and delivers the real MAC savings.
+
+- ``forward_masked``: keep-rates are a *traced* ``(depth,)`` array -> tokens
+  are logically dropped with a boolean mask + masked softmax.  Kept-token
+  outputs are bit-for-bit the same math as physical pruning, but shapes stay
+  full so the per-iteration cosine keep-rate anneal
+  (``engine_finetune.py:29-53``) never recompiles.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpat_tpu.config import ViTConfig
+from tpat_tpu.models import pos_embed as pe
+from tpat_tpu.ops.attention import attention_with_scores
+from tpat_tpu.ops import pruning
+
+Array = jnp.ndarray
+
+_trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+def _dtype(cfg: ViTConfig):
+    return jnp.dtype(cfg.compute_dtype)
+
+
+def drop_path(
+    x: Array, rate: float, deterministic: bool, rng: Optional[jax.Array]
+) -> Array:
+    """Stochastic depth on the residual branch (timm DropPath semantics:
+    per-sample Bernoulli keep, scaled by 1/keep_prob)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc1 -> exact GELU -> drop -> fc2 -> drop
+    (``models_vit.py:30-46``; torch nn.GELU is the erf form)."""
+
+    hidden_dim: int
+    out_dim: int
+    drop_rate: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1",
+                     kernel_init=_trunc02)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2",
+                     kernel_init=_trunc02)(x)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+        return x
+
+
+class PrunedAttention(nn.Module):
+    """QKV self-attention emitting pruning importance scores
+    (``models_vit.py:49-135``)."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        *,
+        need_scores: bool,
+        token_mask: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[Array, Optional[Array]]:
+        cfg = self.cfg
+        b, n, c = x.shape
+        h = cfg.num_heads
+        dh = c // h
+        qkv = nn.Dense(
+            3 * c, use_bias=cfg.qkv_bias, dtype=_dtype(cfg), name="qkv",
+            kernel_init=_trunc02,
+        )(x)
+        qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        out, scores = attention_with_scores(
+            q, k, v,
+            num_extra_tokens=cfg.num_extra_tokens,
+            importance=cfg.importance,
+            token_mask=token_mask,
+            need_scores=need_scores,
+        )
+        # attn_drop (models_vit.py:93) intentionally omitted from the score
+        # path: attn_drop_rate == 0.0 in every reference configuration.
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = nn.Dense(c, dtype=_dtype(cfg), name="proj",
+                       kernel_init=_trunc02)(out)
+        out = nn.Dropout(cfg.drop_rate)(out, deterministic=deterministic)
+        return out, scores
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with post-attention token pruning
+    (``models_vit.py:138-224``)."""
+
+    cfg: ViTConfig
+    block_id: int
+    drop_path_rate: float
+
+    def setup(self):
+        cfg = self.cfg
+        eps = cfg.layer_norm_eps
+        self.norm1 = nn.LayerNorm(epsilon=eps, dtype=_dtype(cfg))
+        self.attn = PrunedAttention(cfg)
+        self.norm2 = nn.LayerNorm(epsilon=eps, dtype=_dtype(cfg))
+        self.mlp = Mlp(
+            hidden_dim=int(cfg.embed_dim * cfg.mlp_ratio),
+            out_dim=cfg.embed_dim,
+            drop_rate=cfg.drop_rate,
+            dtype=_dtype(cfg),
+        )
+
+    def _residual(self, x, branch, deterministic):
+        rng = (
+            self.make_rng("droppath")
+            if (not deterministic and self.drop_path_rate > 0.0)
+            else None
+        )
+        return x + drop_path(branch, self.drop_path_rate, deterministic, rng)
+
+    def __call__(
+        self,
+        x: Array,
+        *,
+        keep_rate: float = 1.0,
+        custom_rank: Optional[Array] = None,
+        extract_features: bool = False,
+        deterministic: bool = True,
+    ):
+        """Static-shape path.  keep_rate is a Python float; when < 1 the
+        output sequence physically shrinks.
+
+        Returns (x, aux) with aux possibly holding 'scores', 'topk_idx'.
+        """
+        cfg = self.cfg
+        e = cfg.num_extra_tokens
+        p_in = x.shape[1] - e
+        prune = keep_rate < 1.0
+        need_scores = (prune and custom_rank is None) or extract_features
+
+        attn_out, scores = self.attn(
+            self.norm1(x), need_scores=need_scores, deterministic=deterministic
+        )
+        x = self._residual(x, attn_out, deterministic)
+
+        aux: Dict[str, Array] = {}
+        if extract_features and scores is not None:
+            aux["scores"] = scores
+
+        if prune:
+            k = pruning.num_left_tokens(keep_rate, p_in)
+            if custom_rank is None:
+                idx = pruning.topk_select(scores, k)
+                x = pruning.gather_tokens(x, idx, e)
+            else:
+                # Reference ablation quirk (models_vit.py:215-220): the
+                # custom-rank gather indexes the FULL sequence (extras
+                # included) with patch-space indices — replicated verbatim.
+                idx = pruning.topk_select(custom_rank, k)
+                x = jnp.take_along_axis(x, idx[..., None], axis=1)
+            aux["topk_idx"] = idx
+
+        x = self._residual(x, self.mlp(self.norm2(x), deterministic), deterministic)
+        return x, aux
+
+    def masked_call(
+        self,
+        x: Array,
+        token_mask: Array,
+        *,
+        keep_rate: Optional[Array],
+        deterministic: bool = True,
+    ) -> Tuple[Array, Array]:
+        """Masked (anneal) path.  keep_rate is a traced scalar in (0, 1]
+        or None for a non-pruning block; shapes stay full.
+
+        Returns (x, refined token_mask).
+        """
+        cfg = self.cfg
+        need_scores = keep_rate is not None
+        attn_out, scores = self.attn(
+            self.norm1(x),
+            need_scores=need_scores,
+            token_mask=token_mask,
+            deterministic=deterministic,
+        )
+        x = self._residual(x, attn_out, deterministic)
+
+        if keep_rate is not None:
+            kept = jnp.sum(token_mask.astype(jnp.int32), axis=1)  # (B,)
+            num_left = pruning.masked_num_left(keep_rate, kept)
+            token_mask = pruning.masked_refine(scores, token_mask, num_left)
+
+        x = self._residual(x, self.mlp(self.norm2(x), deterministic), deterministic)
+        return x, token_mask
+
+
+class PatchEmbed(nn.Module):
+    """16x16 stride-16 conv patchify, row-major token flatten
+    (``models_vit.py:227-247``)."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.cfg
+        # Input contract mirrors the reference: (B, C, H, W).
+        x = x.transpose(0, 2, 3, 1).astype(_dtype(cfg))  # NHWC
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=_dtype(cfg),
+            name="proj",
+        )(x)
+        b, gh, gw, d = x.shape
+        return x.reshape(b, gh * gw, d)
+
+
+def patch_stats(x: Array, patch: int = 16, kind: str = "mean") -> Array:
+    """Per-patch mel mean/std over 16x16 patches, row-major token order —
+    the custom-rank ablation signal (``models_vit.py:345-351``, einops
+    'b c (h p) (w q) -> b (c p q) (h w)').  std uses ddof=1 like torch."""
+    b, c, hh, ww = x.shape
+    gh, gw = hh // patch, ww // patch
+    t = x.reshape(b, c, gh, patch, gw, patch)
+    t = t.transpose(0, 1, 3, 5, 2, 4).reshape(b, c * patch * patch, gh * gw)
+    if kind == "mean":
+        return jnp.mean(t, axis=1)
+    if kind == "std":
+        return jnp.std(t, axis=1, ddof=1)
+    raise ValueError(f"unknown patch stat: {kind}")
+
+
+class AudioViT(nn.Module):
+    """The unified flagship model.  See module docstring."""
+
+    cfg: ViTConfig
+
+    def setup(self):
+        cfg = self.cfg
+        d = cfg.embed_dim
+        self.patch_embed = PatchEmbed(cfg)
+        self.cls_token = self.param("cls_token", _trunc02, (1, 1, d))
+        if cfg.num_extra_tokens == 2:
+            self.dist_token = self.param("dist_token", _trunc02, (1, 1, d))
+        elif cfg.num_extra_tokens != 1:
+            raise ValueError("num_extra_tokens must be 1 or 2")
+
+        self.pos_drop = nn.Dropout(cfg.drop_rate)
+
+        n_pos = cfg.num_patches + cfg.num_extra_tokens
+        if cfg.frozen_pos_embed:
+            # Fixed 2D sin-cos over the (grid_t, grid_f) patch grid — the
+            # finetune driver freezes pos_embed (main_finetune.py:382) and
+            # the pretrained checkpoint overwrites it; sin-cos is the
+            # correct cold-start value (models_mae.py:143-156).
+            init = pe.sincos_2d(
+                d, (cfg.grid_t, cfg.grid_f), cls_token=True
+            )[None].astype(np.float32)
+            self.pos_embed = self.param(
+                "pos_embed", lambda rng, shape: jnp.asarray(init), (1, n_pos, d)
+            )
+        else:
+            self.pos_embed = self.param("pos_embed", _trunc02, (1, n_pos, d))
+
+        dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        self.blocks = [
+            Block(cfg, block_id=i, drop_path_rate=float(dpr[i]), name=f"blocks_{i}")
+            for i in range(cfg.depth)
+        ]
+
+        eps = cfg.layer_norm_eps
+        if cfg.use_final_norm:
+            self.norm = nn.LayerNorm(epsilon=eps, dtype=_dtype(cfg))
+        if cfg.pooling == "gap_fcnorm":
+            self.fc_norm = nn.LayerNorm(epsilon=eps, dtype=_dtype(cfg))
+            self.head = nn.Dense(
+                cfg.num_classes,
+                dtype=jnp.float32,
+                name="head",
+                kernel_init=nn.initializers.truncated_normal(
+                    stddev=2e-5, lower=-2.0, upper=2.0
+                ),
+            )
+        elif cfg.pooling == "cls_dist":
+            # AST mlp_head = LayerNorm + Linear (ast_models.py:290).
+            self.mlp_head_norm = nn.LayerNorm(epsilon=eps, dtype=jnp.float32)
+            self.mlp_head = nn.Dense(
+                cfg.num_classes, dtype=jnp.float32, kernel_init=_trunc02
+            )
+        else:
+            raise ValueError(f"unknown pooling: {cfg.pooling}")
+
+    # ------------------------------------------------------------------
+    # embedding
+    # ------------------------------------------------------------------
+
+    def embed(self, x: Array, deterministic: bool = True) -> Array:
+        """Patchify + extra tokens + positional embedding.
+
+        Two add orders exist in the reference:
+        - 'pre_cls' (AudioMAE, models_vit.py:357-362): pos added to patches
+          first, CLS gets pos row 0, then concat.
+        - 'post_cat' (AST, ast_models.py:463-466): concat CLS+dist+patches,
+          then add the full pos table.
+        Both reduce to concat-then-add with the same table; kept explicit
+        for clarity.
+        """
+        cfg = self.cfg
+        b = x.shape[0]
+        tokens = self.patch_embed(x)
+        pos = self.pos_embed.astype(tokens.dtype)
+        if cfg.frozen_pos_embed:
+            pos = jax.lax.stop_gradient(pos)
+        e = cfg.num_extra_tokens
+        if cfg.num_extra_tokens == 1:
+            extras = jnp.broadcast_to(
+                self.cls_token.astype(tokens.dtype), (b, 1, tokens.shape[-1])
+            )
+        else:
+            extras = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        self.cls_token.astype(tokens.dtype),
+                        (b, 1, tokens.shape[-1]),
+                    ),
+                    jnp.broadcast_to(
+                        self.dist_token.astype(tokens.dtype),
+                        (b, 1, tokens.shape[-1]),
+                    ),
+                ],
+                axis=1,
+            )
+        x = jnp.concatenate([extras, tokens], axis=1)
+        x = x + pos
+        x = self.pos_drop(x, deterministic=deterministic)
+        return x
+
+    def _pool_and_head(
+        self, x: Array, token_mask: Optional[Array] = None
+    ) -> Array:
+        cfg = self.cfg
+        e = cfg.num_extra_tokens
+        if cfg.use_final_norm:
+            x = self.norm(x)
+        if cfg.pooling == "gap_fcnorm":
+            if token_mask is not None:
+                feat = pruning.masked_mean(x[:, e:], token_mask)
+            else:
+                feat = jnp.mean(x[:, e:], axis=1)
+            feat = self.fc_norm(feat)
+            return self.head(feat.astype(jnp.float32))
+        else:  # cls_dist
+            feat = (x[:, 0] + x[:, 1]) / 2.0
+            feat = self.mlp_head_norm(feat.astype(jnp.float32))
+            return self.mlp_head(feat)
+
+    # ------------------------------------------------------------------
+    # static path
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        x: Array,
+        keep_rates: Optional[Sequence[float]] = None,
+        *,
+        mask_t_prob: float = 0.0,
+        mask_f_prob: float = 0.0,
+        extract_features: bool = False,
+        custom_rank: Optional[str] = None,
+        deterministic: bool = True,
+    ):
+        """Static-shape forward.
+
+        keep_rates: per-block Python floats (len == depth); None uses the
+        config's baked defaults (models_vit.py:365-376, 502-527).
+        Returns logits, or (logits, feature_dict) when extracting.
+        """
+        cfg = self.cfg
+        if keep_rates is None:
+            keep_rates = cfg.keep_rates
+        keep_rates = tuple(float(r) for r in keep_rates)
+        if len(keep_rates) != cfg.depth:
+            raise ValueError(
+                f"keep_rates must have length {cfg.depth}, got {len(keep_rates)}"
+            )
+
+        features: Dict[str, Array] = {}
+        if extract_features:
+            features["mel"] = x
+
+        rank = None
+        if custom_rank is not None:
+            rank = patch_stats(x, cfg.patch_size, custom_rank)
+
+        if mask_t_prob > 0.0 or mask_f_prob > 0.0:
+            tokens = self._embed_masked2d(
+                x, mask_t_prob, mask_f_prob, deterministic
+            )
+        else:
+            tokens = self.embed(x, deterministic)
+
+        for i, blk in enumerate(self.blocks):
+            tokens, aux = blk(
+                tokens,
+                keep_rate=keep_rates[i],
+                custom_rank=rank,
+                extract_features=extract_features,
+                deterministic=deterministic,
+            )
+            if rank is not None and "topk_idx" in aux:
+                rank = pruning.gather_scores(rank, aux["topk_idx"])
+            if extract_features:
+                if "scores" in aux:
+                    features[f"block-{i}.attn_score"] = aux["scores"]
+                if "topk_idx" in aux:
+                    features[f"block-{i}.topk_idx"] = aux["topk_idx"]
+
+        logits = self._pool_and_head(tokens)
+        if extract_features:
+            return logits, features
+        return logits
+
+    def _embed_masked2d(
+        self, x: Array, mask_t_prob: float, mask_f_prob: float,
+        deterministic: bool,
+    ) -> Array:
+        """Finetune-time structured 2D time/freq token masking
+        (``models_vit.py:425-465, 468-497``): random T rows then F cols of
+        the patch grid are dropped (static counts), tokens stay permuted.
+
+        Only valid for the 'pre_cls'/time-major family (AudioMAE), matching
+        the reference, where pos-embed is added before masking.
+        """
+        cfg = self.cfg
+        assert cfg.pos_embed_mode == "pre_cls", "2D masking is AudioMAE-only"
+        b = x.shape[0]
+        tokens = self.patch_embed(x)  # (B, T*F, D)
+        pos = self.pos_embed.astype(tokens.dtype)
+        if cfg.frozen_pos_embed:
+            pos = jax.lax.stop_gradient(pos)
+        tokens = tokens + pos[:, 1:, :]
+
+        t, f, d = cfg.grid_t, cfg.grid_f, cfg.embed_dim
+        keep_t = int(t * (1 - mask_t_prob))
+        keep_f = int(f * (1 - mask_f_prob))
+        rng = self.make_rng("mask2d")
+        rng_t, rng_f = jax.random.split(rng)
+
+        grid = tokens.reshape(b, t, f, d)
+        noise_t = jax.random.uniform(rng_t, (b, t))
+        ids_t = jnp.argsort(noise_t, axis=1)[:, :keep_t]  # (B, keep_t)
+        grid = jnp.take_along_axis(grid, ids_t[:, :, None, None], axis=1)
+
+        grid = grid.transpose(0, 2, 1, 3)  # (B, F, T', D)
+        noise_f = jax.random.uniform(rng_f, (b, f))
+        ids_f = jnp.argsort(noise_f, axis=1)[:, :keep_f]
+        grid = jnp.take_along_axis(grid, ids_f[:, :, None, None], axis=1)
+        grid = grid.transpose(0, 2, 1, 3)  # (B, T', F', D)
+        tokens = grid.reshape(b, keep_t * keep_f, d)
+
+        cls = (self.cls_token + self.pos_embed[:, :1, :]).astype(tokens.dtype)
+        cls = jnp.broadcast_to(cls, (b, 1, d))
+        tokens = jnp.concatenate([cls, tokens], axis=1)
+        tokens = self.pos_drop(tokens, deterministic=deterministic)
+        return tokens
+
+    # ------------------------------------------------------------------
+    # masked (anneal) path
+    # ------------------------------------------------------------------
+
+    def forward_masked(
+        self,
+        x: Array,
+        keep_rate_array: Array,
+        *,
+        intensity_band: Optional[Tuple[Array, Array, int]] = None,
+        deterministic: bool = True,
+    ):
+        """Full-shape forward with traced per-block keep rates.
+
+        keep_rate_array: (depth,) float array; entries at non-drop_loc
+        blocks are ignored (those blocks never prune — drop_loc is static
+        config).  Shapes stay (B, N_full) throughout, so the cosine anneal
+        runs under one compilation.
+
+        intensity_band: optional (retain_min, retain_max, block_idx) for the
+        intensity-band ablation (``models_vit.py:353-385``): after
+        ``block_idx``, only tokens whose per-patch mel mean lies inside the
+        open interval survive.  Returns (logits, kept_counts) so callers
+        can skip samples where nothing survived (reference returns None).
+        """
+        cfg = self.cfg
+        b = x.shape[0]
+
+        band_mask = None
+        band_blk = -1
+        if intensity_band is not None:
+            lo, hi, band_blk = intensity_band
+            intensity = patch_stats(x, cfg.patch_size, "mean")
+            band_mask = jnp.logical_and(intensity > lo, intensity < hi)
+
+        tokens = self.embed(x, deterministic)
+        token_mask = jnp.ones((b, cfg.num_patches), dtype=bool)
+
+        for i, blk in enumerate(self.blocks):
+            kr = keep_rate_array[i] if i in cfg.drop_loc else None
+            tokens, token_mask = blk.masked_call(
+                tokens, token_mask, keep_rate=kr, deterministic=deterministic
+            )
+            if band_mask is not None and i == band_blk:
+                token_mask = jnp.logical_and(token_mask, band_mask)
+
+        logits = self._pool_and_head(tokens, token_mask=token_mask)
+        kept = jnp.sum(token_mask.astype(jnp.int32), axis=1)
+        if intensity_band is not None:
+            return logits, kept
+        return logits
