@@ -1,0 +1,145 @@
+"""Benchmark: clips/sec/chip for the flagship token-pruning ViT-B.
+
+Config matches BASELINE.json's headline metric: ViT-B/16 at keep-rate 0.7
+(drop_loc (3,6,9)), ESC-50 geometry (512x128 spectrogram -> 257 tokens),
+eval forward.  Baseline anchor: the reference's only CPU-runnable config —
+dense AST-style ViT-B eval in torch on CPU (measured once, cached).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": clips/s/chip, "unit": "clips/s", "vs_baseline": x}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 128
+TARGET_LENGTH = 512
+KEEP = 0.7
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+
+
+def measure_tpat() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from tpat_tpu.config import audiomae_vit_base
+    from tpat_tpu.models.vit import AudioViT
+
+    cfg = audiomae_vit_base(
+        target_length=TARGET_LENGTH,
+        num_classes=50,
+        base_keep_rate=KEEP,
+        drop_loc=(3, 6, 9),
+        drop_path_rate=0.0,
+        compute_dtype="bfloat16",
+    )
+    model = AudioViT(cfg)
+    # Generate the batch ON DEVICE: host->device over the axon relay is
+    # ~1 MB/s, and block_until_ready does not actually block there, so
+    # timing must be forced by fetching a scalar that depends on the
+    # output (verified against a known-cost matmul).
+    gen = jax.jit(
+        lambda k: jax.random.normal(
+            k, (BATCH, 1, TARGET_LENGTH, cfg.num_mel_bins), jnp.float32
+        )
+    )
+    x = gen(jax.random.PRNGKey(1))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x[:1])["params"]
+    fwd = jax.jit(
+        lambda p, x: jnp.sum(model.apply({"params": p}, x).astype(jnp.float32))
+    )
+    float(fwd(params, x))  # compile + execute
+    for _ in range(3):  # warmup
+        v = fwd(params, x)
+    float(v)
+    n_iters = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        v = fwd(params, x)
+    float(v)  # single scalar fetch forces the whole in-order queue
+    dt = (time.perf_counter() - t0) / n_iters
+    n_chips = jax.device_count()
+    return BATCH / dt / n_chips
+
+
+def measure_torch_cpu_baseline() -> float:
+    """Dense torch-CPU ViT-B forward on the same geometry — the reference
+    stack's CPU-runnable anchor (BASELINE.json configs[0])."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["clips_per_sec"]
+
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    class Blk(torch.nn.Module):
+        def __init__(self, d=768, h=12):
+            super().__init__()
+            self.n1 = torch.nn.LayerNorm(d, eps=1e-6)
+            self.attn = torch.nn.MultiheadAttention(d, h, batch_first=True)
+            self.n2 = torch.nn.LayerNorm(d, eps=1e-6)
+            self.mlp = torch.nn.Sequential(
+                torch.nn.Linear(d, 4 * d), torch.nn.GELU(), torch.nn.Linear(4 * d, d)
+            )
+
+        def forward(self, x):
+            h = self.n1(x)
+            x = x + self.attn(h, h, h, need_weights=False)[0]
+            return x + self.mlp(self.n2(x))
+
+    class DenseViT(torch.nn.Module):
+        def __init__(self, d=768, depth=12):
+            super().__init__()
+            self.proj = torch.nn.Conv2d(1, d, 16, 16)
+            self.cls = torch.nn.Parameter(torch.zeros(1, 1, d))
+            self.pos = torch.nn.Parameter(torch.zeros(1, 257, d))
+            self.blocks = torch.nn.ModuleList([Blk(d) for _ in range(depth)])
+            self.norm = torch.nn.LayerNorm(d, eps=1e-6)
+            self.head = torch.nn.Linear(d, 50)
+
+        def forward(self, x):
+            t = self.proj(x).flatten(2).transpose(1, 2)
+            x = torch.cat([self.cls.expand(t.shape[0], -1, -1), t], 1) + self.pos
+            for b in self.blocks:
+                x = b(x)
+            return self.head(self.norm(x)[:, 1:].mean(1))
+
+    model = DenseViT().eval()
+    b = 8
+    x = torch.randn(b, 1, TARGET_LENGTH, 128)
+    with torch.no_grad():
+        model(x)  # warmup
+        n = 3
+        t0 = time.perf_counter()
+        for _ in range(n):
+            model(x)
+        dt = (time.perf_counter() - t0) / n
+    cps = b / dt
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"clips_per_sec": cps, "batch": b, "note": "torch cpu dense ViT-B"}, f)
+    return cps
+
+
+def main():
+    value = measure_tpat()
+    try:
+        baseline = measure_torch_cpu_baseline()
+    except Exception as e:  # baseline failure must not kill the bench
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        baseline = None
+    result = {
+        "metric": "clips/sec/chip ViT-B keep0.7 ESC-50 eval (bf16)",
+        "value": round(value, 1),
+        "unit": "clips/s",
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

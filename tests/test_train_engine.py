@@ -1,0 +1,200 @@
+"""Training-engine tests: phase transitions, loss decrease under SPMD over
+the virtual 8-device mesh, optimizer parity (layer-decay scales, frozen
+pos-embed), eval metrics, and checkpoint round-trip."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpat_tpu.config import TrainConfig, ViTConfig
+from tpat_tpu.engine import evaluate as eval_lib
+from tpat_tpu.engine import optimizer as opt_lib
+from tpat_tpu.engine.train import TrainModule, bce_with_logits, soft_cross_entropy
+from tpat_tpu.models.vit import AudioViT
+from tpat_tpu.parallel import mesh as mesh_lib
+from tpat_tpu.utils import checkpoint as ckpt_lib
+
+
+def tiny_cfg(**kw):
+    kw.setdefault("embed_dim", 64)
+    kw.setdefault("depth", 3)
+    kw.setdefault("num_heads", 2)
+    kw.setdefault("num_classes", 4)
+    kw.setdefault("target_length", 64)
+    kw.setdefault("num_mel_bins", 32)
+    kw.setdefault("drop_loc", (1,))
+    kw.setdefault("drop_path_rate", 0.1)
+    return ViTConfig(**kw)
+
+
+def synthetic_batches(n_batches, batch, cfg, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_batches):
+        y_idx = rng.integers(0, cfg.num_classes, size=batch)
+        x = rng.normal(size=(batch, 1, cfg.target_length, cfg.num_mel_bins))
+        # make inputs class-dependent so the model can overfit
+        x[np.arange(batch), 0, 0, 0] = y_idx * 2.0
+        y = np.eye(cfg.num_classes, dtype=np.float32)[y_idx]
+        out.append((x.astype(np.float32), y))
+    return out
+
+
+def make_module(cfg, train_cfg, loss="ce", mesh=None, iters=4):
+    return TrainModule(
+        model=AudioViT(cfg),
+        model_cfg=cfg,
+        train_cfg=train_cfg,
+        loss_type=loss,
+        iters_per_epoch=iters,
+        mesh=mesh,
+    )
+
+
+def test_losses_match_torch():
+    import torch
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(5, 7)).astype(np.float32)
+    targets = rng.uniform(size=(5, 7)).astype(np.float32)
+    got = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(targets)))
+    want = float(
+        torch.nn.BCEWithLogitsLoss()(
+            torch.from_numpy(logits), torch.from_numpy(targets)
+        )
+    )
+    assert abs(got - want) < 1e-6
+
+    probs = targets / targets.sum(axis=1, keepdims=True)
+    got = float(soft_cross_entropy(jnp.asarray(logits), jnp.asarray(probs)))
+    want = float(
+        torch.nn.CrossEntropyLoss()(
+            torch.from_numpy(logits), torch.from_numpy(probs)
+        )
+    )
+    assert abs(got - want) < 1e-6
+
+
+def test_train_phases_and_loss_decreases():
+    cfg = tiny_cfg(base_keep_rate=0.6)
+    tc = TrainConfig(
+        batch_size=8,
+        epochs=6,
+        blr=2e-3,
+        warmup_epochs=1,
+        shrink_start_epoch=1,
+        shrink_epochs=2,
+        base_keep_rate=0.6,
+        drop_loc=(1,),
+        mask_t_prob=0.2,
+        mask_f_prob=0.2,
+    )
+    mesh = mesh_lib.make_mesh()
+    mod = make_module(cfg, tc, mesh=mesh)
+    batches = synthetic_batches(4, 8, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+
+    phases = []
+    losses = []
+    for epoch in range(6):
+        state, stats = mod.train_epoch(state, batches, epoch)
+        phases.append(stats["phase"])
+        losses.append(stats["loss"])
+    assert phases == ["dense", "anneal", "anneal", "static", "static", "static"]
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    # frozen pos-embed must not have moved
+    init_pos = np.asarray(
+        AudioViT(cfg).init({"params": jax.random.PRNGKey(tc.seed)},
+                           jnp.asarray(batches[0][0][:1]))["params"]["pos_embed"]
+    )
+    np.testing.assert_array_equal(np.asarray(state.params["pos_embed"]), init_pos)
+
+
+def test_train_multidevice_mesh():
+    assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=16, epochs=2, warmup_epochs=0)
+    mesh = mesh_lib.make_mesh()
+    mod = make_module(cfg, tc, mesh=mesh)
+    batches = synthetic_batches(2, 16, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+    state, stats = mod.train_epoch(state, batches, 0)
+    assert math.isfinite(stats["loss"])
+    # single-device reference run must produce the same loss sequence
+    mod1 = make_module(cfg, tc, mesh=mesh_lib.make_mesh(n_devices=1))
+    state1 = mod1.init(jnp.asarray(batches[0][0]))
+    state1, stats1 = mod1.train_epoch(state1, batches, 0)
+    assert abs(stats["loss"] - stats1["loss"]) < 1e-4
+
+
+def test_optimizer_lr_scales():
+    cfg = tiny_cfg()
+    model = AudioViT(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 1, cfg.target_length, cfg.num_mel_bins)),
+    )["params"]
+    scales = opt_lib.lr_scale_tree(params, cfg.depth, 0.75, True)
+    assert scales["pos_embed"] == 0.0  # frozen
+    assert scales["cls_token"] == 0.75 ** (cfg.depth + 1)
+    assert scales["blocks_0"]["norm1"]["scale"] == 0.75 ** cfg.depth
+    assert scales["head"]["kernel"] == 1.0
+    mask = opt_lib.wd_mask_tree(params)
+    assert mask["blocks_0"]["attn"]["qkv"]["kernel"] is True
+    assert mask["blocks_0"]["attn"]["qkv"]["bias"] is False
+    assert mask["cls_token"] is False
+
+
+def test_evaluate_classification_and_multilabel():
+    cfg = tiny_cfg()
+    model = AudioViT(cfg)
+    mesh = mesh_lib.make_mesh()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 1, cfg.target_length, cfg.num_mel_bins)),
+    )["params"]
+    batches = synthetic_batches(3, 8, cfg)
+    # last batch smaller than compiled size -> padding path
+    batches[-1] = (batches[-1][0][:5], batches[-1][1][:5])
+    stats = eval_lib.evaluate_classification(
+        model, params, batches, batch_size=8, mesh=mesh
+    )
+    assert 0.0 <= stats["acc1"] <= 100.0
+    assert stats["acc5"] >= stats["acc1"]
+    ml = eval_lib.evaluate_multilabel(
+        model, params, batches, batch_size=8, mesh=mesh
+    )
+    assert 0.0 <= ml["mAP"] <= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=4, epochs=2, warmup_epochs=0)
+    mod = make_module(cfg, tc)
+    batches = synthetic_batches(1, 4, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+    state, _ = mod.train_epoch(state, batches, 0)
+
+    keeper = ckpt_lib.BestCheckpointKeeper(
+        str(tmp_path / "scratch"), str(tmp_path / "out")
+    )
+    assert keeper.update(0.5, state, epoch=0)
+    assert not keeper.update(0.3, state, epoch=1)  # worse -> not saved
+    assert keeper.update(0.5, state, epoch=2)  # ties keep the later epoch
+    best = keeper.finalize()
+    assert best is not None
+    markers = [p for p in os.listdir(tmp_path / "out") if p.startswith("best-")]
+    assert markers == ["best-002-0.5000.txt"]
+
+    restored = ckpt_lib.restore_checkpoint(best)
+    np.testing.assert_allclose(
+        restored["params"]["cls_token"],
+        np.asarray(state.params["cls_token"]),
+        rtol=1e-6,
+    )
+    assert restored["epoch"] == 2

@@ -1,0 +1,108 @@
+"""Evaluation loops mirroring ``/root/reference/audiomae/engine_finetune.py:
+145-267`` (``evaluate`` for single-label acc1/acc5, ``evaluate_audioset``
+for multilabel mAP), SPMD over the data mesh.
+
+Distributed-eval semantics: the reference shards eval across ranks without
+padding (``util/sampler.py`` DistributedEvalSampler) and all_gathers
+logits (``engine_finetune.py:246-248``).  Here every host batch is padded
+to the compiled batch size (no recompiles), logits come back replicated,
+and the padding is dropped on the host before metrics — numerically exact,
+like the unpadded sampler.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpat_tpu.engine import metrics as metrics_lib
+from tpat_tpu.models.vit import AudioViT
+from tpat_tpu.parallel import mesh as mesh_lib
+
+
+def make_eval_step(model: AudioViT, mesh=None, extract_features: bool = False):
+    def fwd(params, x):
+        return model.apply(
+            {"params": params}, x, extract_features=extract_features
+        )
+
+    return jax.jit(fwd)
+
+
+def _run_batches(
+    eval_step,
+    params,
+    batches,
+    batch_size: int,
+    mesh=None,
+    feature_writer=None,
+    index_to_name=None,
+):
+    all_logits, all_targets = [], []
+    for bidx, (x, y) in enumerate(batches):
+        n = x.shape[0]
+        if n < batch_size:  # pad to compiled shape, trim after
+            pad = batch_size - n
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+        if mesh is not None:
+            x = mesh_lib.shard_batch(mesh, x)
+        out = eval_step(params, jnp.asarray(x))
+        if feature_writer is not None:
+            logits, features = out
+            if index_to_name is not None:
+                features["labels"] = [
+                    index_to_name[int(i)] for i in np.argmax(y, axis=1)
+                ]
+            else:
+                features["labels"] = ["temp"] * n
+            features = {
+                k: (np.asarray(v)[:n] if hasattr(v, "shape") else v)
+                for k, v in features.items()
+            }
+            feature_writer(features, bidx)
+        else:
+            logits = out
+        all_logits.append(np.asarray(logits)[:n])
+        all_targets.append(np.asarray(y))
+    return np.concatenate(all_logits), np.concatenate(all_targets)
+
+
+def evaluate_classification(
+    model: AudioViT,
+    params,
+    batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+    batch_size: int,
+    mesh=None,
+    feature_writer=None,
+    index_to_name=None,
+) -> Dict[str, float]:
+    """Single-label eval: acc1/acc5 + CE loss on argmax targets
+    (engine_finetune.py:145-202)."""
+    step = make_eval_step(model, mesh, extract_features=feature_writer is not None)
+    logits, targets = _run_batches(
+        step, params, batches, batch_size, mesh, feature_writer, index_to_name
+    )
+    tgt_idx = np.argmax(targets, axis=1)
+    acc1, acc5 = metrics_lib.topk_accuracy(logits, tgt_idx, ks=(1, 5))
+    logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    loss = float(-jnp.mean(logp[jnp.arange(len(tgt_idx)), tgt_idx]))
+    return {"acc1": float(acc1), "acc5": float(acc5), "loss": loss}
+
+
+def evaluate_multilabel(
+    model: AudioViT,
+    params,
+    batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+    batch_size: int,
+    mesh=None,
+    feature_writer=None,
+) -> Dict[str, float]:
+    """Multilabel mAP eval (engine_finetune.py:206-267)."""
+    step = make_eval_step(model, mesh, extract_features=feature_writer is not None)
+    logits, targets = _run_batches(
+        step, params, batches, batch_size, mesh, feature_writer
+    )
+    return {"mAP": metrics_lib.mean_average_precision(logits, targets)}

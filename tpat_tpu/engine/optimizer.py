@@ -1,0 +1,118 @@
+"""AdamW with BEiT layer-wise LR decay, matching the reference optimizer.
+
+Reference recipe (``/root/reference/audiomae/main_finetune.py:463-468``):
+AdamW(betas=(0.9, 0.95)) over param groups built by
+``util/lr_decay.py:param_groups_lrd`` — per-layer lr scale
+``layer_decay ** (num_layers - layer_id)``, weight decay only on >=2-D
+params outside {pos_embed, cls_token}; lr follows the per-iteration
+warmup+cosine schedule (``util/lr_sched.py``) times the group scale.
+
+torch.AdamW step (decoupled weight decay):
+    p <- p - lr_group * (m_hat / (sqrt(v_hat) + eps) + wd * p)
+
+Implemented as one optax chain with a per-leaf static scale tree; the
+frozen pos-embed (``main_finetune.py:382`` sets requires_grad=False) gets
+scale 0 so it never moves.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpat_tpu.config import TrainConfig, ViTConfig
+from tpat_tpu.engine import schedules
+
+
+def _path_names(path) -> Tuple[str, ...]:
+    out = []
+    for p in path:
+        if hasattr(p, "key"):
+            out.append(str(p.key))
+        elif hasattr(p, "name"):
+            out.append(str(p.name))
+        else:
+            out.append(str(p))
+    return tuple(out)
+
+
+def lr_scale_tree(params, depth: int, layer_decay: float, frozen_pos_embed: bool):
+    def scale(path, leaf):
+        names = _path_names(path)
+        if frozen_pos_embed and names[0] == "pos_embed":
+            return 0.0
+        return schedules.layer_decay_scale(names, depth, layer_decay)
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def wd_mask_tree(params):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: schedules.weight_decay_mask(_path_names(path), leaf),
+        params,
+    )
+
+
+def make_optimizer(
+    params,
+    model_cfg: ViTConfig,
+    train_cfg: TrainConfig,
+    lr_fn: Callable[[jnp.ndarray], jnp.ndarray],
+) -> optax.GradientTransformation:
+    """lr_fn: step -> lr (the warmup+cosine schedule, per optimizer step)."""
+    scales = lr_scale_tree(
+        params, model_cfg.depth, train_cfg.layer_decay, model_cfg.frozen_pos_embed
+    )
+    wd_mask = wd_mask_tree(params)
+
+    def scale_by_leaf() -> optax.GradientTransformation:
+        def init(params):
+            return optax.EmptyState()
+
+        def update(updates, state, params=None):
+            updates = jax.tree_util.tree_map(
+                lambda u, s: u * s, updates, scales
+            )
+            return updates, state
+
+        return optax.GradientTransformation(init, update)
+
+    chain = [
+        optax.scale_by_adam(b1=0.9, b2=0.95, eps=1e-8),
+        optax.add_decayed_weights(train_cfg.weight_decay, mask=wd_mask),
+        scale_by_leaf(),
+        optax.scale_by_schedule(lambda step: -lr_fn(step)),
+    ]
+    if train_cfg.clip_grad is not None:
+        chain.insert(0, optax.clip_by_global_norm(train_cfg.clip_grad))
+    return optax.chain(*chain)
+
+
+def make_lr_fn(
+    train_cfg: TrainConfig, iters_per_epoch: int, eff_batch_size: int
+) -> Callable:
+    """Per-iteration LR from the optimizer step count: fractional epoch =
+    step / iters_per_epoch (engine_finetune.py:91 passes
+    data_iter_step/len(loader) + epoch)."""
+    lr = train_cfg.resolved_lr(eff_batch_size)
+
+    def lr_fn(step):
+        frac_epoch = step / iters_per_epoch
+        return schedules.warmup_cosine_lr(
+            frac_epoch,
+            lr=lr,
+            min_lr=train_cfg.min_lr,
+            warmup_epochs=train_cfg.warmup_epochs,
+            total_epochs=train_cfg.epochs,
+        )
+
+    return lr_fn
+
+
+def global_grad_norm(grads) -> jnp.ndarray:
+    """L2 norm over all leaves (util/misc.py:282-294 get_grad_norm_)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))

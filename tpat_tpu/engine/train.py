@@ -1,0 +1,252 @@
+"""SPMD training engine.
+
+Mirrors the reference train loop semantics
+(``/root/reference/audiomae/engine_finetune.py:57-142`` and
+``main_finetune.py:506-589``) on a TPU mesh:
+
+- per-iteration warmup+cosine LR (baked into the optimizer schedule)
+- keep-rate phases: dense -> masked anneal (traced keep rates, single
+  compilation) -> static pruned (baked keep rates)
+- finetune-time 2D time/freq masking in the dense phase; the engine
+  disables masking + SpecAug once shrink starts (main_finetune.py:518-522)
+- BCE (audioset/spc2) or soft-target CE (esc50/voxceleb1) losses
+  (main_finetune.py:473-479)
+- NaN-loss hard abort (engine_finetune.py:108-110)
+- gradient accumulation via optax.MultiSteps (accum_iter,
+  engine_finetune.py:112-117)
+
+Collectives: the batch is sharded over the data axis and params are
+replicated, so grad reduction is an XLA psum inserted by jit — the
+TPU-native form of DDP's bucketed NCCL all-reduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpat_tpu.config import TrainConfig, ViTConfig
+from tpat_tpu.engine import optimizer as opt_lib
+from tpat_tpu.engine import schedules
+from tpat_tpu.models.vit import AudioViT
+from tpat_tpu.parallel import mesh as mesh_lib
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+def soft_cross_entropy(logits, targets):
+    """torch.nn.CrossEntropyLoss with probability targets: mean over batch
+    of -(sum targets * log_softmax(logits))."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.sum(targets * logp, axis=-1))
+
+
+def bce_with_logits(logits, targets):
+    """torch.nn.BCEWithLogitsLoss (mean over every element)."""
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, targets))
+
+
+LOSS_FNS = {"ce": soft_cross_entropy, "bce": bce_with_logits}
+
+
+@dataclasses.dataclass
+class TrainModule:
+    """Bundles model + configs + compiled step functions."""
+
+    model: AudioViT
+    model_cfg: ViTConfig
+    train_cfg: TrainConfig
+    loss_type: str
+    iters_per_epoch: int
+    mesh: Any = None
+
+    def __post_init__(self):
+        eff_batch = self.train_cfg.batch_size * self.train_cfg.accum_iter
+        self.lr_fn = opt_lib.make_lr_fn(
+            self.train_cfg,
+            max(self.iters_per_epoch // self.train_cfg.accum_iter, 1),
+            eff_batch,
+        )
+        self._steps: Dict[str, Callable] = {}
+
+    # -- state ----------------------------------------------------------
+
+    def tx(self, params) -> optax.GradientTransformation:
+        tx = opt_lib.make_optimizer(
+            params, self.model_cfg, self.train_cfg, self.lr_fn
+        )
+        if self.train_cfg.accum_iter > 1:
+            tx = optax.MultiSteps(tx, self.train_cfg.accum_iter)
+        return tx
+
+    # -- steps ----------------------------------------------------------
+
+    def _forward(self, params, x, rngs, phase: str, keep_rates, mask_prob: float):
+        model = self.model
+        if phase == "anneal":
+            return model.apply(
+                {"params": params},
+                x,
+                keep_rates,  # traced (depth,) array
+                deterministic=False,
+                method=AudioViT.forward_masked,
+                rngs=rngs,
+            )
+        kr = (1.0,) * self.model_cfg.depth if phase == "dense" else None
+        return model.apply(
+            {"params": params},
+            x,
+            keep_rates=kr,
+            mask_t_prob=mask_prob,
+            mask_f_prob=mask_prob,
+            deterministic=False,
+            rngs=rngs,
+        )
+
+    def make_train_step(self, phase: str, mask_prob: float = 0.0):
+        """phase: 'dense' | 'anneal' | 'static'.  The returned function is
+        jitted; 'anneal' takes an extra (depth,) keep-rate array input."""
+        loss_fn = LOSS_FNS[self.loss_type]
+
+        def step(state: TrainState, x, y, keep_rates=None):
+            rng, r0, r1, r2 = jax.random.split(
+                jax.random.fold_in(state.rng, state.step), 4
+            )
+            rngs = {"dropout": r0, "droppath": r1, "mask2d": r2}
+
+            def compute_loss(params):
+                logits = self._forward(
+                    params, x, rngs, phase, keep_rates, mask_prob
+                )
+                return loss_fn(logits, y)
+
+            loss, grads = jax.value_and_grad(compute_loss)(state.params)
+            updates, opt_state = self._tx.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                rng=rng,
+            )
+            metrics = {
+                "loss": loss,
+                "lr": self.lr_fn(state.step // max(self.train_cfg.accum_iter, 1)),
+                "grad_norm": opt_lib.global_grad_norm(grads),
+            }
+            return new_state, metrics
+
+        return step
+
+    def compiled_step(self, phase: str, mask_prob: float = 0.0):
+        key = (phase, mask_prob)
+        if key not in self._steps:
+            if not hasattr(self, "_tx"):
+                raise RuntimeError("call init_state() before compiled_step()")
+            fn = self.make_train_step(phase, mask_prob)
+            self._steps[key] = jax.jit(fn, donate_argnums=(0,))
+        return self._steps[key]
+
+    def init(self, sample_x, seed: Optional[int] = None) -> TrainState:
+        rng = jax.random.PRNGKey(self.train_cfg.seed if seed is None else seed)
+        params = self.model.init({"params": rng}, sample_x[:1])["params"]
+        self._tx = self.tx(params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self._tx.init(params),
+            rng=rng,
+        )
+        if self.mesh is not None:
+            rep = mesh_lib.replicated_sharding(self.mesh)
+            state = jax.device_put(state, rep)
+        return state
+
+    def load(self, params, seed: Optional[int] = None) -> TrainState:
+        """Build state around imported params (checkpoint finetune path)."""
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        self._tx = self.tx(params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self._tx.init(params),
+            rng=jax.random.PRNGKey(self.train_cfg.seed if seed is None else seed),
+        )
+        if self.mesh is not None:
+            state = jax.device_put(state, mesh_lib.replicated_sharding(self.mesh))
+        return state
+
+    # -- epoch ----------------------------------------------------------
+
+    def train_epoch(
+        self,
+        state: TrainState,
+        batches: Iterable[Tuple[np.ndarray, np.ndarray]],
+        epoch: int,
+        log_every: int = 0,
+        log_fn: Callable[[str], None] = print,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        """One epoch with the reference's phase/aug rules.  ``batches``
+        yields host (x, y) with a fixed global batch size."""
+        cfg = self.train_cfg
+        phase = schedules.schedule_phase(
+            epoch,
+            shrink_start_epoch=cfg.shrink_start_epoch,
+            shrink_epochs=cfg.shrink_epochs,
+            base_keep_rate=cfg.base_keep_rate,
+        )
+        # masking regularization is active only before shrink
+        mask_prob = cfg.mask_t_prob if phase == "dense" else 0.0
+        step_fn = self.compiled_step(phase, mask_prob)
+
+        losses = []
+        it = epoch * self.iters_per_epoch
+        for i, (x, y) in enumerate(batches):
+            if self.mesh is not None:
+                x, y = mesh_lib.shard_batch(self.mesh, (x, y))
+            if phase == "anneal":
+                rates = schedules.scheduled_keep_rates(
+                    it + i,
+                    epoch,
+                    shrink_start_epoch=cfg.shrink_start_epoch,
+                    total_epochs=cfg.shrink_start_epoch + cfg.shrink_epochs,
+                    iters_per_epoch=self.iters_per_epoch,
+                    base_keep_rate=cfg.base_keep_rate,
+                    num_blocks=self.model_cfg.depth,
+                    drop_loc=cfg.drop_loc,
+                )
+                kr = jnp.asarray(rates, dtype=jnp.float32)
+                state, metrics = step_fn(state, x, y, kr)
+            else:
+                state, metrics = step_fn(state, x, y)
+            loss = float(metrics["loss"])
+            if not math.isfinite(loss):
+                raise FloatingPointError(
+                    f"Loss is {loss} at epoch {epoch} iter {i}, stopping "
+                    "training (engine_finetune.py:108-110 semantics)"
+                )
+            losses.append(loss)
+            if log_every and (i % log_every == 0):
+                log_fn(
+                    f"Epoch [{epoch}] iter {i}/{self.iters_per_epoch} "
+                    f"phase={phase} loss={loss:.4f} "
+                    f"lr={float(metrics['lr']):.2e}"
+                )
+        return state, {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "phase": phase,
+        }

@@ -1,0 +1,99 @@
+"""Checkpoint save/load (orbax) with the reference's best-tracking and
+resume semantics.
+
+Reference behavior (``/root/reference/audiomae/util/misc.py:297-335``,
+``main_finetune.py:548-589``): checkpoint = {model, optimizer, epoch,
+scaler, args}; best-so-far checkpoints go to a fast scratch dir (tmpfs
+"ramdisk"), old ones are deleted, and only the final best is copied to the
+output dir as ``best_model.pth``.  Resume restores model+optimizer+epoch.
+
+Here: orbax PyTree checkpoints holding {params, opt_state, step, epoch};
+no loss-scaler state exists (bf16 needs none — SURVEY.md §2 #25).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state, epoch: int, extra: Optional[Dict] = None):
+    path = os.path.abspath(path)
+    payload = {
+        "params": _to_host(state.params),
+        "opt_state": _to_host(state.opt_state),
+        "step": int(state.step),
+        "epoch": int(epoch),
+    }
+    if extra:
+        payload["extra"] = extra
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+
+
+def restore_checkpoint(path: str, template: Optional[Dict] = None) -> Dict:
+    ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        return ckptr.restore(path, item=template)
+    return ckptr.restore(path)
+
+
+class BestCheckpointKeeper:
+    """Keep only the best checkpoint in a scratch dir; finalize by copying
+    it to the output dir and writing the ``best-{epoch:03d}-{score}.txt``
+    marker (main_finetune.py:548-589)."""
+
+    def __init__(self, scratch_dir: str, output_dir: str):
+        self.scratch_dir = scratch_dir
+        self.output_dir = output_dir
+        os.makedirs(scratch_dir, exist_ok=True)
+        os.makedirs(output_dir, exist_ok=True)
+        self.best_score = float("-inf")
+        self.best_epoch = -1
+
+    def update(self, score: float, state, epoch: int) -> bool:
+        """Reference keeps the LAST epoch achieving >= max score
+        (main_finetune.py:548: ``max_score <= test_stats[metric]``)."""
+        if score < self.best_score:
+            return False
+        self.best_score = score
+        self.best_epoch = epoch
+        for old in os.listdir(self.scratch_dir):
+            if old.startswith("checkpoint-"):
+                shutil.rmtree(
+                    os.path.join(self.scratch_dir, old), ignore_errors=True
+                )
+        save_checkpoint(
+            os.path.join(self.scratch_dir, f"checkpoint-{epoch:03d}"),
+            state,
+            epoch,
+        )
+        return True
+
+    def finalize(self):
+        if self.best_epoch < 0:
+            return None
+        marker = os.path.join(
+            self.output_dir, f"best-{self.best_epoch:03d}-{self.best_score:.4f}.txt"
+        )
+        open(marker, "w").close()
+        src = os.path.join(self.scratch_dir, f"checkpoint-{self.best_epoch:03d}")
+        dst = os.path.join(self.output_dir, "best_model")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        for old in os.listdir(self.scratch_dir):
+            if old.startswith("checkpoint-"):
+                shutil.rmtree(
+                    os.path.join(self.scratch_dir, old), ignore_errors=True
+                )
+        return dst
