@@ -1,0 +1,147 @@
+"""Analysis subsystem tests: Kendall pair counting vs a brute-force oracle,
+KMeans remap ordering, patch-mask gather/scatter vs torch, index
+composition, feature writer/combiner round-trip, reducers."""
+
+import json
+import os
+
+import numpy as np
+import torch
+
+from tpat_tpu.analysis import stats as S
+from tpat_tpu.analysis import reducers
+from tpat_tpu.utils.features import FeatureWriter, combine_feature_dict
+
+
+def brute_force_tau(score, rank):
+    b, n = score.shape
+    c = d = 0
+    for i in range(b):
+        for p in range(n):
+            for q in range(p + 1, n):
+                prod = (score[i, q] - score[i, p]) * (rank[i, q] - rank[i, p])
+                if prod >= 0:
+                    c += 1
+                else:
+                    d += 1
+    return (c - d) / ((n * (n - 1) // 2) * b)
+
+
+def test_kendall_tau_matches_bruteforce(rng):
+    score = rng.normal(size=(3, 12)).astype(np.float32)
+    rank = rng.integers(0, 5, size=(3, 12)).astype(np.float32)
+    got = S.kendall_tau_pairs(score, rank)
+    want = brute_force_tau(score, rank)
+    assert abs(got - want) < 1e-12
+
+
+def test_kendall_perfect_and_inverse():
+    score = np.arange(10, dtype=np.float32)[None]
+    rank = np.arange(10, dtype=np.float32)[None]
+    assert S.kendall_tau_pairs(score, rank) == 1.0
+    assert S.kendall_tau_pairs(score, -rank) == -1.0
+
+
+def test_kmeans_rank_ascending(rng):
+    # three separated blobs -> remapped ids must be ordered by intensity
+    stat = np.concatenate(
+        [
+            rng.normal(-5, 0.1, size=(2, 20)),
+            rng.normal(0, 0.1, size=(2, 20)),
+            rng.normal(5, 0.1, size=(2, 20)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    rank, info = S.kmeans_rank(stat, n_clusters=3)
+    assert rank[stat < -3].max() == 0
+    assert set(np.unique(rank[(stat > -1) & (stat < 1)])) == {1.0}
+    assert rank[stat > 3].min() == 2
+    mins = [i[0] for i in info]
+    assert mins == sorted(mins)
+
+
+def test_patch_stats_matches_torch_rearrange(rng):
+    mel = rng.normal(size=(2, 1, 64, 32)).astype(np.float32)
+    got_mean = S.patch_stats_np(mel, 16, "mean")
+    got_std = S.patch_stats_np(mel, 16, "std")
+    t = torch.from_numpy(mel)
+    from einops import rearrange
+
+    r = rearrange(t, "b c (h p) (w q) -> b (c p q) (h w)", p=16, q=16, h=4)
+    np.testing.assert_allclose(got_mean, r.mean(dim=1).numpy(), rtol=1e-5)
+    np.testing.assert_allclose(got_std, r.std(dim=1).numpy(), rtol=1e-4)
+
+
+def test_apply_patch_mask_matches_torch(rng):
+    img = rng.normal(size=(2, 3, 64, 32)).astype(np.float32)
+    idx = np.stack([[0, 3, 7], [1, 2, 5]]).astype(np.int64)
+    got = S.apply_patch_mask(img, idx, 16)
+    # torch oracle (util/misc.py:422-437 semantics)
+    x = torch.from_numpy(img)
+    from einops import rearrange
+
+    h = 4
+    xr = rearrange(x, "b c (h p) (w q) -> b (c p q) (h w)", p=16, q=16, h=h)
+    out = torch.zeros_like(xr)
+    idx1 = torch.from_numpy(idx).unsqueeze(1).expand(-1, xr.size(1), -1)
+    extracted = torch.gather(xr, dim=2, index=idx1)
+    scattered = torch.scatter(out, dim=2, index=idx1, src=extracted)
+    want = rearrange(
+        scattered, "b (c p q) (h w) -> b c (h p) (w q)", p=16, q=16, h=h
+    ).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_compose_melspec_idx():
+    stage0 = np.array([[5, 1, 3, 0]])
+    stage1 = np.array([[2, 0]])
+    out = S.compose_melspec_idx([stage0, stage1])
+    np.testing.assert_array_equal(out[0], stage0)
+    np.testing.assert_array_equal(out[1], [[3, 5]])
+
+
+def test_feature_roundtrip_and_kendall_cli(tmp_path, rng):
+    # write a fake extraction dir and run the kendall pipeline end-to-end
+    writer = FeatureWriter(str(tmp_path))
+    b, t, f = 4, 64, 32
+    mel = rng.normal(size=(b, 1, t, f)).astype(np.float32)
+    n_patches = (t // 16) * (f // 16)
+    for bidx in range(2):
+        feats = {
+            "mel": mel[bidx * 2 : bidx * 2 + 2],
+            "block-0.attn_score": rng.normal(size=(2, n_patches)).astype(np.float32),
+            "block-1.attn_score": rng.normal(size=(2, n_patches)).astype(np.float32),
+            "block-1.topk_idx": np.argsort(
+                -rng.normal(size=(2, n_patches)), axis=1
+            )[:, : n_patches // 2].astype(np.int64),
+            "labels": ["a", "b"],
+        }
+        writer(feats, bidx)
+
+    got = combine_feature_dict(str(tmp_path), "mel")
+    assert got.shape == (4, 1, 64, 32)
+    assert combine_feature_dict(str(tmp_path), "labels") == ["a", "b", "a", "b"]
+    assert combine_feature_dict(str(tmp_path), "block-7.topk_idx") is None
+
+    from tpat_tpu.analysis.extract_stats import kendall_rank, retained_token_analyze
+
+    taus, info = kendall_rank(str(tmp_path), str(tmp_path / "out"), "mean",
+                              num_blocks=2)
+    assert len(taus) == 2 and all(-1 <= x <= 1 for x in taus)
+    assert len(info) == 5
+    count = retained_token_analyze(str(tmp_path))
+    assert 0 <= count <= 4 * n_patches // 2
+
+
+def test_reducers(tmp_path):
+    for fold in range(3):
+        d = tmp_path / f"fold{fold}"
+        d.mkdir()
+        (d / f"best-00{fold}-{90 + fold}.0000.txt").touch()
+    avg = reducers.average_scores(str(tmp_path))
+    assert abs(avg - 91.0) < 1e-9
+    # kendall graph plot
+    j = tmp_path / "k.json"
+    json.dump({"ESC-50": list(np.linspace(0, 1, 12))}, open(j, "w"))
+    out = reducers.draw_kendall_graph(str(j))
+    assert os.path.exists(out)

@@ -1,0 +1,136 @@
+"""Data pipeline tests over synthetic WAV fixtures: decode, dataset
+semantics (labels, mixup soft labels, padding, normalization), SpecAug,
+samplers, and the threaded loader."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from tpat_tpu.config import DATASET_PRESETS, DataConfig
+from tpat_tpu.data import augment
+from tpat_tpu.data.datasets import AudiosetDataset, make_index_dict, make_name_dict
+from tpat_tpu.data.loader import DataLoader
+from tpat_tpu.data.sampler import EpochShardSampler, eval_shard
+from tpat_tpu.data.wav import load_wav, save_wav
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """5 one-second 16 kHz tones + manifest + label csv."""
+    root = tmp_path_factory.mktemp("corpus")
+    sr = 16000
+    entries = []
+    for i in range(5):
+        t = np.arange(sr) / sr
+        wave = 0.5 * np.sin(2 * math.pi * (200 + 200 * i) * t)
+        path = str(root / f"tone{i}.wav")
+        save_wav(path, wave.astype(np.float32), sr)
+        entries.append({"wav": path, "labels": f"/m/{i:02d}"})
+    manifest = str(root / "data.json")
+    with open(manifest, "w") as f:
+        json.dump({"data": entries}, f)
+    label_csv = str(root / "labels.csv")
+    with open(label_csv, "w") as f:
+        f.write("index,mid,display_name\n")
+        for i in range(5):
+            f.write(f'{i},/m/{i:02d},"tone {i}"\n')
+    return manifest, label_csv, root
+
+
+def test_wav_roundtrip(tmp_path):
+    sr = 16000
+    wave = np.clip(np.random.default_rng(0).normal(size=8000) * 0.1, -1, 1)
+    p = str(tmp_path / "x.wav")
+    save_wav(p, wave.astype(np.float32), sr)
+    got, got_sr = load_wav(p)
+    assert got_sr == sr and got.shape == (1, 8000)
+    np.testing.assert_allclose(got[0], wave, atol=2.0 / 32768)
+
+
+def test_label_maps(corpus):
+    _, label_csv, _ = corpus
+    idx = make_index_dict(label_csv)
+    assert idx["/m/03"] == 3
+    names = make_name_dict(label_csv)
+    assert names[2] == "tone 2"
+
+
+def test_dataset_eval_item(corpus):
+    manifest, label_csv, _ = corpus
+    cfg = DataConfig(
+        name="t", num_classes=5, target_length=128, norm_mean=-6.0,
+        norm_std=5.0, multilabel=False, use_noise=False, loss_type="ce",
+    )
+    ds = AudiosetDataset(manifest, cfg, label_csv, train=False)
+    x, y, path = ds[1]
+    assert x.shape == (1, 128, 128)
+    # 1 s at 16 kHz -> 98 frames, padded to 128 with the min value
+    np.testing.assert_array_equal(y, [0, 1, 0, 0, 0])
+    assert path.endswith("tone1.wav")
+    # padding rows are all equal to the (normalized) pre-pad min
+    assert np.ptp(x[0, 98:]) == 0.0
+    # deterministic in eval mode
+    x2, _, _ = ds[1]
+    np.testing.assert_array_equal(x, x2)
+
+
+def test_dataset_mixup_soft_labels(corpus):
+    manifest, label_csv, _ = corpus
+    cfg = DataConfig(
+        name="t", num_classes=5, target_length=128, norm_mean=-6.0,
+        norm_std=5.0, multilabel=True, use_noise=False, loss_type="bce",
+        mixup=1.0,
+    )
+    ds = AudiosetDataset(manifest, cfg, label_csv, train=True, seed=3)
+    x, y, _ = ds[0]
+    # mixup always fires: labels sum to 1 with at most two classes > 0
+    assert abs(y.sum() - 1.0) < 1e-6
+    assert (y > 0).sum() in (1, 2)
+
+
+def test_spec_masking_bounds():
+    rng = np.random.default_rng(0)
+    mel = np.ones((100, 128), dtype=np.float32)
+    out = augment.spec_masking(mel, freqm=48, timem=48, rng=rng)
+    assert out.shape == mel.shape
+    # masked cells are zero, rest untouched
+    assert set(np.unique(out)).issubset({0.0, 1.0})
+
+
+def test_sampler_epoch_and_sharding():
+    s0 = EpochShardSampler(10, shuffle=True, seed=0, world=1, rank=0)
+    s0.set_epoch(0)
+    a = list(s0)
+    s0.set_epoch(1)
+    b = list(s0)
+    assert sorted(a) == list(range(10)) and a != b
+    # two-way sharding covers everything with wraparound padding
+    sh = [
+        EpochShardSampler(10, shuffle=False, world=4, rank=r).indices()
+        for r in range(4)
+    ]
+    assert all(len(x) == 3 for x in sh)
+    assert set(sum(sh, [])) == set(range(10))
+    # eval shard: unpadded, exact
+    ev = [eval_shard(10, 4, r) for r in range(4)]
+    assert sorted(sum(ev, [])) == list(range(10))
+    assert [len(e) for e in ev] == [3, 3, 2, 2]
+
+
+def test_loader_batching(corpus):
+    manifest, label_csv, _ = corpus
+    cfg = DataConfig(
+        name="t", num_classes=5, target_length=64, norm_mean=-6.0,
+        norm_std=5.0, multilabel=False, use_noise=False, loss_type="ce",
+    )
+    ds = AudiosetDataset(manifest, cfg, label_csv, train=False)
+    dl = DataLoader(ds, batch_size=2, num_workers=2, drop_last=True)
+    batches = list(dl)
+    assert len(batches) == 2 == len(dl)
+    x, y, ids = batches[0]
+    assert x.shape == (2, 1, 64, 128) and y.shape == (2, 5) and len(ids) == 2
+    dl2 = DataLoader(ds, batch_size=2, num_workers=2, drop_last=False)
+    assert len(list(dl2)) == 3

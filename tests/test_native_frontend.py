@@ -1,0 +1,49 @@
+"""Native C++ audio frontend (native/libtpat_audio.so) parity vs the
+Python implementations.  Skipped when the library isn't built
+(``make -C native``)."""
+
+import numpy as np
+import pytest
+
+from tpat_tpu.data import native
+from tpat_tpu.data.wav import load_wav_python, save_wav
+from tpat_tpu.ops import fbank as fb
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native lib not built (make -C native)"
+)
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nat") / "x.wav")
+    rng = np.random.default_rng(0)
+    wave = np.clip(rng.normal(size=24000) * 0.2, -1, 1).astype(np.float32)
+    save_wav(path, wave, 16000)
+    return path
+
+
+def test_native_decode_matches_python(wav_file):
+    w_py, sr_py = load_wav_python(wav_file)
+    w_c, sr_c = native.load_wav(wav_file)
+    assert sr_c == sr_py == 16000
+    np.testing.assert_array_equal(w_c, w_py)
+
+
+def test_native_fbank_matches_numpy(wav_file):
+    w, sr = load_wav_python(wav_file)
+    mel_py = fb.fbank_numpy(w[0])
+    mel_c = native.fbank(w[0], sr, 128)
+    assert mel_c.shape == mel_py.shape
+    np.testing.assert_allclose(mel_c, mel_py, atol=2e-4)
+
+
+def test_native_stereo_decode(tmp_path):
+    path = str(tmp_path / "st.wav")
+    rng = np.random.default_rng(1)
+    wave = np.clip(rng.normal(size=(2, 4000)) * 0.2, -1, 1).astype(np.float32)
+    save_wav(path, wave, 8000)
+    w_c, sr = native.load_wav(path)
+    w_py, _ = load_wav_python(path)
+    assert w_c.shape == (2, 4000) and sr == 8000
+    np.testing.assert_array_equal(w_c, w_py)

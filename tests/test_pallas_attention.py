@@ -1,0 +1,89 @@
+"""Fused attention kernel vs the XLA reference path (interpret mode on
+CPU): outputs, importance scores, and gradients must agree; the full model
+under attention_impl='fused' must match 'xla'."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpat_tpu.ops.attention import attention_with_scores
+from tpat_tpu.ops.pallas_attention import fused_attention_with_scores
+
+
+def qkv(rng, b=2, h=3, n=17, d=8):
+    return tuple(
+        jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+        for _ in range(3)
+    )
+
+
+@pytest.mark.parametrize("mode,extra", [("patch_mean", 1), ("cls", 2), (None, 1)])
+def test_fused_matches_xla(rng, mode, extra):
+    q, k, v = qkv(rng)
+    out_f, scores_f = fused_attention_with_scores(q, k, v, mode, extra)
+    out_x, scores_x = attention_with_scores(
+        q, k, v,
+        num_extra_tokens=extra,
+        importance=mode or "patch_mean",
+        need_scores=mode is not None,
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-6)
+    if mode is None:
+        assert scores_f is None
+    else:
+        np.testing.assert_allclose(
+            np.asarray(scores_f), np.asarray(scores_x), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_fused_gradients_match_xla(rng):
+    q, k, v = qkv(rng, n=9)
+
+    def loss_fused(q, k, v):
+        out, scores = fused_attention_with_scores(q, k, v, "patch_mean", 1)
+        return jnp.sum(out ** 2) + jnp.sum(scores * scores)
+
+    def loss_xla(q, k, v):
+        out, scores = attention_with_scores(
+            q, k, v, num_extra_tokens=1, importance="patch_mean",
+            need_scores=True,
+        )
+        return jnp.sum(out ** 2) + jnp.sum(scores * scores)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_model_fused_matches_xla(rng):
+    from tpat_tpu.config import ViTConfig
+    from tpat_tpu.models.vit import AudioViT
+
+    base = dict(
+        embed_dim=96, depth=3, num_heads=2, num_classes=7,
+        target_length=64, num_mel_bins=32, drop_loc=(1,),
+        base_keep_rate=0.6, drop_path_rate=0.0,
+    )
+    cfg_x = ViTConfig(**base, attention_impl="xla")
+    cfg_f = ViTConfig(**base, attention_impl="fused")
+    x = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    params = AudioViT(cfg_x).init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    out_x, feats_x = AudioViT(cfg_x).apply(
+        {"params": params}, x, extract_features=True
+    )
+    out_f, feats_f = AudioViT(cfg_f).apply(
+        {"params": params}, x, extract_features=True
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(feats_f["block-1.topk_idx"]),
+        np.asarray(feats_x["block-1.topk_idx"]),
+    )

@@ -1,0 +1,367 @@
+"""Finetune/eval driver — the ``main_finetune.py`` equivalent
+(``/root/reference/audiomae/main_finetune.py``), same knob names, backed by
+the typed config system and the SPMD engine.
+
+Usage examples (mirroring ft_esc50.sh):
+
+  python -m tpat_tpu.cli.finetune \
+    --dataset esc50 --data_train train.json --data_eval eval.json \
+    --label_csv labels.csv --nb_classes 50 --batch_size 64 --epochs 120 \
+    --blr 1e-3 --base_keep_rate 0.5 --drop_loc "(3, 6, 9)" \
+    --shrink_start_epoch 20 --shrink_epochs 40 \
+    --audioset_pretrained_model_path pretrained.pth \
+    --output_dir out --ramdisk_dir /dev/shm/tpat
+
+  # eval + feature extraction (engine_finetune.py:145-202 path)
+  python -m tpat_tpu.cli.finetune ... --eval \
+    --finetuned_model_path out/best_model \
+    --flag_extract_features true --extract_features_path feats/
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import dataclasses
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("tpat_tpu finetuning", add_help=False)
+    p.add_argument("--batch_size", required=True, type=int)
+    p.add_argument("--epochs", required=True, type=int)
+    p.add_argument("--accum_iter", default=1, type=int)
+    p.add_argument("--model", default="audiomae_vit_base",
+                   choices=["audiomae_vit_base", "audiomae_vit_small",
+                            "audiomae_vit_large", "audiomae_vit_tiny",
+                            "ast_vit_base"])
+    p.add_argument("--drop_path", type=float, default=0.1)
+    # optimizer
+    p.add_argument("--clip_grad", type=float, default=None)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--blr", type=float, default=1e-3)
+    p.add_argument("--layer_decay", type=float, default=0.75)
+    p.add_argument("--min_lr", type=float, default=1e-6)
+    p.add_argument("--warmup_epochs", type=float, default=5)
+    # checkpoints
+    p.add_argument("--audioset_pretrained_model_path", default="")
+    p.add_argument("--finetuned_model_path", default="")
+    p.add_argument("--mean_pooling", type=str2bool, default=True)
+    # data
+    p.add_argument("--dataset", required=True,
+                   choices=["audioset", "esc50", "spc2", "voxceleb1"])
+    p.add_argument("--data_train", default="")
+    p.add_argument("--data_eval", default="")
+    p.add_argument("--label_csv", default="")
+    p.add_argument("--voxceleb1_root", default=None)
+    p.add_argument("--nb_classes", required=True, type=int)
+    p.add_argument("--freqm", type=int, default=None)
+    p.add_argument("--timem", type=int, default=None)
+    p.add_argument("--mixup", type=float, default=0.0)
+    p.add_argument("--roll_mag_aug", type=str2bool, default=False)
+    p.add_argument("--mask_2d", type=str2bool, default=True)
+    p.add_argument("--mask_t_prob", type=float, default=0.0)
+    p.add_argument("--mask_f_prob", type=float, default=0.0)
+    p.add_argument("--num_workers", default=4, type=int)
+    # run control
+    p.add_argument("--output_dir", default="./output_dir")
+    p.add_argument("--ramdisk_dir", default="")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--resume", default="")
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--dist_eval", action="store_true", default=False)
+    p.add_argument("--first_eval_ep", default=0, type=int)
+    p.add_argument("--result_path", type=str, default=None)
+    # feature extraction
+    p.add_argument("--flag_extract_features", type=str2bool, default=False)
+    p.add_argument("--extract_features_path", type=str, default=None)
+    # pruning
+    p.add_argument("--drop_loc", default="(3, 6, 9)", type=str)
+    p.add_argument("--base_keep_rate", type=float, default=1.0)
+    p.add_argument("--shrink_epochs", default=0, type=int)
+    p.add_argument("--shrink_start_epoch", default=10, type=int)
+    # ablations
+    p.add_argument("--custom_rank", default=None, choices=[None, "mean", "std"])
+    p.add_argument("--retain_min", default=-100, type=float)
+    p.add_argument("--retain_max", default=100, type=float)
+    p.add_argument("--drop_token_blk_idx", type=int, default=None)
+    return p
+
+
+def args_checker(args):
+    """main_finetune.py:220-233."""
+    if not args.eval:
+        assert not args.flag_extract_features, (
+            "extract_features is only supported during evaluation"
+        )
+    else:
+        assert args.finetuned_model_path, (
+            "finetuned_model_path is required for evaluation"
+        )
+    if args.flag_extract_features:
+        assert args.extract_features_path, (
+            "extract_features_path is required for feature extraction"
+        )
+
+
+def build_everything(args):
+    import jax.numpy as jnp
+
+    from tpat_tpu import config as cfg_lib
+    from tpat_tpu.data.datasets import AudiosetDataset, VoxCeleb1Dataset, make_name_dict
+    from tpat_tpu.data.loader import DataLoader
+    from tpat_tpu.engine.train import TrainModule
+    from tpat_tpu.models.vit import AudioViT
+    from tpat_tpu.parallel import mesh as mesh_lib
+
+    preset = cfg_lib.DATASET_PRESETS[args.dataset]
+    data_cfg = dataclasses.replace(
+        preset,
+        num_classes=args.nb_classes,
+        freqm=args.freqm if args.freqm is not None else preset.freqm,
+        timem=args.timem if args.timem is not None else preset.timem,
+        mixup=args.mixup,
+        roll_mag_aug=args.roll_mag_aug,
+    )
+
+    drop_loc = tuple(ast.literal_eval(args.drop_loc))
+    factory = getattr(cfg_lib, args.model)
+    model_cfg = factory(
+        num_classes=args.nb_classes,
+        target_length=data_cfg.target_length,
+        drop_path_rate=args.drop_path,
+        drop_loc=drop_loc,
+        base_keep_rate=args.base_keep_rate,
+    )
+    model = AudioViT(model_cfg)
+
+    if args.dataset == "voxceleb1":
+        ds_train = VoxCeleb1Dataset(
+            args.voxceleb1_root, "train", data_cfg, lr_pad=True, seed=args.seed
+        )
+        ds_val = VoxCeleb1Dataset(args.voxceleb1_root, "test", data_cfg)
+    else:
+        ds_train = (
+            AudiosetDataset(
+                args.data_train, data_cfg, args.label_csv, train=True,
+                roll_mag_aug=args.roll_mag_aug, seed=args.seed,
+            )
+            if args.data_train
+            else None
+        )
+        ds_val = AudiosetDataset(
+            args.data_eval, data_cfg, args.label_csv, train=False
+        )
+
+    loader_train = (
+        DataLoader(
+            ds_train, args.batch_size, shuffle=True,
+            num_workers=args.num_workers, drop_last=True, seed=args.seed,
+        )
+        if ds_train is not None
+        else None
+    )
+    loader_val = DataLoader(
+        ds_val, args.batch_size, shuffle=False,
+        num_workers=args.num_workers, drop_last=False,
+    )
+
+    train_cfg = cfg_lib.TrainConfig(
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        accum_iter=args.accum_iter,
+        blr=args.blr,
+        lr=args.lr,
+        min_lr=args.min_lr,
+        warmup_epochs=args.warmup_epochs,
+        weight_decay=args.weight_decay,
+        layer_decay=args.layer_decay,
+        clip_grad=args.clip_grad,
+        seed=args.seed,
+        base_keep_rate=args.base_keep_rate,
+        drop_loc=drop_loc,
+        shrink_start_epoch=args.shrink_start_epoch,
+        shrink_epochs=args.shrink_epochs,
+        mask_t_prob=args.mask_t_prob,
+        mask_f_prob=args.mask_f_prob,
+        first_eval_ep=args.first_eval_ep,
+    )
+    mesh = mesh_lib.make_mesh()
+    module = TrainModule(
+        model=model,
+        model_cfg=model_cfg,
+        train_cfg=train_cfg,
+        loss_type=data_cfg.loss_type,
+        iters_per_epoch=len(loader_train) if loader_train else 1,
+        mesh=mesh,
+    )
+    return model, model_cfg, data_cfg, module, loader_train, loader_val
+
+
+def load_params(args, model, model_cfg):
+    """Checkpoint surgery chain (main_finetune.py:384-426)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpat_tpu.utils import torch_import as ti
+    from tpat_tpu.utils import checkpoint as ckpt_lib
+
+    x0 = jnp.zeros((1, 1, model_cfg.target_length, model_cfg.num_mel_bins))
+    params = model.init({"params": jax.random.PRNGKey(args.seed)}, x0)["params"]
+
+    if args.audioset_pretrained_model_path:
+        sd = ti.load_torch_state_dict(args.audioset_pretrained_model_path)
+        if model_cfg.num_extra_tokens == 2:
+            imported = ti.ast_params_from_state_dict(sd, model_cfg)
+        else:
+            imported = ti.audiomae_params_from_state_dict(sd, model_cfg)
+        params = ti.overlay_params(params, imported)
+        print(f"loaded pretrained checkpoint: {args.audioset_pretrained_model_path}")
+
+    if args.finetuned_model_path:
+        path = args.finetuned_model_path
+        if path.endswith(".pth"):
+            sd = ti.load_torch_state_dict(path)
+            if model_cfg.num_extra_tokens == 2:
+                imported = ti.ast_params_from_state_dict(sd, model_cfg)
+            else:
+                imported = ti.audiomae_params_from_state_dict(sd, model_cfg)
+            params = ti.overlay_params(params, imported)
+        else:  # orbax dir saved by this framework
+            restored = ckpt_lib.restore_checkpoint(path)
+            params = restored["params"]
+        print(f"loaded finetuned checkpoint: {path}")
+    return params
+
+
+def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
+    from tpat_tpu.data.datasets import make_name_dict
+    from tpat_tpu.engine import evaluate as eval_lib
+    from tpat_tpu.utils.features import FeatureWriter
+
+    writer = None
+    index_to_name = None
+    if args.flag_extract_features:
+        Path(args.extract_features_path).mkdir(parents=True, exist_ok=True)
+        writer = FeatureWriter(args.extract_features_path)
+        if args.label_csv:
+            index_to_name = make_name_dict(args.label_csv)
+
+    batches = ((x, y) for x, y, _ in loader_val)
+    if args.dataset == "audioset":
+        stats = eval_lib.evaluate_multilabel(
+            model, params, batches, args.batch_size, module.mesh,
+            feature_writer=writer,
+        )
+        metric = "mAP"
+    else:
+        stats = eval_lib.evaluate_classification(
+            model, params, batches, args.batch_size, module.mesh,
+            feature_writer=writer, index_to_name=index_to_name,
+        )
+        metric = "acc1"
+    print(f"{metric}: {stats[metric]:.4f}")
+    if args.result_path:
+        with open(args.result_path, "w") as f:
+            f.write(f"{stats[metric]:.4f}")
+    return stats
+
+
+def main(args):
+    import jax.numpy as jnp
+
+    from tpat_tpu.engine import evaluate as eval_lib
+    from tpat_tpu.utils.checkpoint import BestCheckpointKeeper
+
+    args_checker(args)
+    np.random.seed(args.seed)
+
+    model, model_cfg, data_cfg, module, loader_train, loader_val = (
+        build_everything(args)
+    )
+    params = load_params(args, model, model_cfg)
+
+    if args.eval:
+        run_eval(args, model, model_cfg, data_cfg, module, loader_val, params)
+        return
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    import yaml
+
+    with open(out / "args.yaml", "w") as f:
+        yaml.dump(vars(args), f)
+
+    state = module.load(params, seed=args.seed)
+    scratch = args.ramdisk_dir or str(out / "scratch")
+    keeper = BestCheckpointKeeper(scratch, str(out))
+    metric = "mAP" if args.dataset == "audioset" else "acc1"
+
+    start = time.time()
+    for epoch in range(args.start_epoch, args.epochs):
+        loader_train.set_epoch(epoch)
+        if args.base_keep_rate < 1.0 and epoch >= args.shrink_start_epoch:
+            # disable augmentations once shrink begins
+            loader_train.dataset.freqm = 0
+            loader_train.dataset.timem = 0
+
+        batches = ((x, y) for x, y, _ in loader_train)
+        state, train_stats = module.train_epoch(
+            state, batches, epoch, log_every=20
+        )
+
+        if epoch >= args.first_eval_ep:
+            ebatches = ((x, y) for x, y, _ in loader_val)
+            if args.dataset == "audioset":
+                test_stats = eval_lib.evaluate_multilabel(
+                    model, state.params, ebatches, args.batch_size, module.mesh
+                )
+            else:
+                test_stats = eval_lib.evaluate_classification(
+                    model, state.params, ebatches, args.batch_size, module.mesh
+                )
+        else:
+            test_stats = {metric: -1.0}
+        score = test_stats[metric]
+        print(
+            f"epoch {epoch}: phase={train_stats['phase']} "
+            f"train_loss={train_stats['loss']:.4f} {metric}={score:.4f}"
+        )
+        keeper.update(score, state, epoch)
+
+        log = {
+            **{f"train_{k}": v for k, v in train_stats.items()},
+            **{f"test_{k}": v for k, v in test_stats.items()},
+            "epoch": epoch,
+        }
+        with open(out / "log.txt", "a") as f:
+            f.write(json.dumps(log) + "\n")
+
+    keeper.finalize()
+    print(f"training time {time.time() - start:.1f}s, "
+          f"best {metric}={keeper.best_score:.4f} @ epoch {keeper.best_epoch}")
+    if args.result_path:
+        with open(args.result_path, "w") as f:
+            f.write(f"{keeper.best_score:.4f}")
+
+
+if __name__ == "__main__":
+    parser = get_args_parser()
+    main(parser.parse_args())

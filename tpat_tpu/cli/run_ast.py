@@ -1,0 +1,266 @@
+"""AST driver — the ``ast/src/run.py`` equivalent
+(``/root/reference/ast/src/run.py``): same flags (dashes included), AST
+training recipe (Adam + MultiStepLR + 1000-step warmup, hard-CE/BCE),
+result CSVs via np.savetxt, epochs counted from 1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast as pyast
+import dataclasses
+import os
+
+import numpy as np
+
+
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("yes", "true", "t", "y", "1")
+
+
+def get_parser():
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    p.add_argument("--data-train", type=str, default="")
+    p.add_argument("--data-val", type=str, default="")
+    p.add_argument("--data-eval", type=str, default="")
+    p.add_argument("--label-csv", type=str, default="")
+    p.add_argument("--n_class", type=int, default=527)
+    p.add_argument("--model", type=str, default="ast")
+    p.add_argument("--dataset", type=str, default="audioset")
+    p.add_argument("--exp-dir", type=str, default="")
+    p.add_argument("--ramdisk_dir", type=str, default="")
+    p.add_argument("--lr", "--learning-rate", default=0.001, type=float)
+    p.add_argument("-b", "--batch-size", default=12, type=int)
+    p.add_argument("-w", "--num-workers", default=8, type=int)
+    p.add_argument("--n-epochs", type=int, default=1)
+    p.add_argument("--n-print-steps", type=int, default=100)
+    p.add_argument("--mixup", type=float, default=0)
+    p.add_argument("--fstride", type=int, default=16)
+    p.add_argument("--tstride", type=int, default=16)
+    p.add_argument("--imagenet_pretrain", type=pyast.literal_eval, default="True")
+    p.add_argument("--audioset_pretrain", type=pyast.literal_eval, default="False")
+    p.add_argument("--dataset_mean", type=float, default=-4.2677393)
+    p.add_argument("--dataset_std", type=float, default=4.5689974)
+    p.add_argument("--audio_length", type=int, default=1024)
+    p.add_argument("--noise", type=pyast.literal_eval, default="False")
+    p.add_argument("--metrics", type=str, default=None, choices=["acc", "mAP"])
+    p.add_argument("--loss", type=str, default=None, choices=["BCE", "CE"])
+    p.add_argument("--warmup", type=pyast.literal_eval, default="False")
+    p.add_argument("--lrscheduler_start", type=int, default=2)
+    p.add_argument("--lrscheduler_step", type=int, default=1)
+    p.add_argument("--lrscheduler_decay", type=float, default=0.5)
+    p.add_argument("--freqm", type=int, default=0)
+    p.add_argument("--timem", type=int, default=0)
+    # EViT
+    p.add_argument("--shrink_start_epoch", type=int, default=999)
+    p.add_argument("--shrink_epochs", type=int, default=999)
+    p.add_argument("--base_keep_rate", type=float, default=1.0)
+    p.add_argument("--drop_loc", default="(3, 6, 9)", type=str)
+    p.add_argument("--extract_features_path", type=str, default=None)
+    p.add_argument("--flag_extract_features", type=str2bool, default=False)
+    p.add_argument("--audioset_pretrained_model_path", type=str, default=None)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--model_size", type=str, default="base384")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--custom_rank", default=None, type=str)
+    p.add_argument("--retain_min", default=-100.0, type=float)
+    p.add_argument("--retain_max", default=100.0, type=float)
+    p.add_argument("--drop_token_blk_idx", default=None, type=int)
+    p.add_argument("--first_eval_epoch", default=0, type=int)
+    p.add_argument("--eval_result_path", default="eval_result.csv", type=str)
+    return p
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from tpat_tpu import config as cfg_lib
+    from tpat_tpu.data.datasets import AudiosetDataset
+    from tpat_tpu.data.loader import DataLoader
+    from tpat_tpu.engine import evaluate as eval_lib
+    from tpat_tpu.engine.train import TrainModule
+    from tpat_tpu.models.vit import AudioViT
+    from tpat_tpu.parallel import mesh as mesh_lib
+    from tpat_tpu.utils import torch_import as ti
+    from tpat_tpu.utils.checkpoint import BestCheckpointKeeper, restore_checkpoint
+    from tpat_tpu.utils.features import FeatureWriter
+
+    assert args.fstride == 16 and args.tstride == 16, (
+        "only fstride=tstride=16 (ast_models.py:258)"
+    )
+    np.random.seed(args.seed)
+
+    data_cfg = cfg_lib.DataConfig(
+        name=args.dataset,
+        num_classes=args.n_class,
+        target_length=args.audio_length,
+        norm_mean=args.dataset_mean,
+        norm_std=args.dataset_std,
+        multilabel=args.metrics == "mAP",
+        use_noise=bool(args.noise),
+        loss_type="bce" if args.loss == "BCE" else "ce_hard",
+        freqm=args.freqm,
+        timem=args.timem,
+        mixup=args.mixup,
+    )
+
+    drop_loc = tuple(pyast.literal_eval(args.drop_loc))
+    model_kw = dict(
+        num_classes=args.n_class,
+        target_length=args.audio_length,
+        drop_loc=drop_loc,
+        base_keep_rate=args.base_keep_rate,
+    )
+    if args.model_size == "tiny_debug":  # smoke-test scale, not in reference
+        model_cfg = dataclasses.replace(
+            cfg_lib.ast_vit_base(**model_kw),
+            embed_dim=192, depth=6, num_heads=3,
+        )
+    else:
+        assert args.model_size == "base384", "only base384 (ast_models.py:286)"
+        model_cfg = cfg_lib.ast_vit_base(**model_kw)
+    model = AudioViT(model_cfg)
+
+    ds_val = AudiosetDataset(
+        args.data_val or args.data_eval, data_cfg, args.label_csv, train=False
+    )
+    loader_val = DataLoader(
+        ds_val, args.batch_size, shuffle=False, num_workers=args.num_workers
+    )
+
+    # AST input orientation: (B, T, 128) -> (B, 1, 128, T)
+    # (ast_models.py:434-436); datasets emit (B, 1, T, F), transpose here.
+    def ast_batches(loader):
+        for x, y, _ids in loader:
+            yield x.transpose(0, 1, 3, 2), y
+
+    mesh = mesh_lib.make_mesh()
+
+    def init_params():
+        x0 = jnp.zeros((1, 1, model_cfg.num_mel_bins, model_cfg.target_length))
+        params = model.init({"params": jax.random.PRNGKey(args.seed)}, x0)["params"]
+        if args.audioset_pretrained_model_path:
+            sd = ti.load_torch_state_dict(args.audioset_pretrained_model_path)
+            params = ti.overlay_params(
+                params, ti.ast_params_from_state_dict(sd, model_cfg)
+            )
+            print(f"loaded AST checkpoint {args.audioset_pretrained_model_path}")
+        return params
+
+    os.makedirs(args.exp_dir or ".", exist_ok=True)
+
+    if args.eval:
+        best = os.path.join(args.exp_dir, "models", "best_audio_model")
+        params = (
+            restore_checkpoint(best)["params"]
+            if os.path.exists(best)
+            else init_params()
+        )
+        writer = None
+        if args.flag_extract_features:
+            os.makedirs(args.extract_features_path, exist_ok=True)
+            writer = FeatureWriter(args.extract_features_path)
+        batches = ast_batches(loader_val)
+        if args.metrics == "acc":
+            stats = eval_lib.evaluate_classification(
+                model, params, batches, args.batch_size, mesh,
+                feature_writer=writer,
+            )
+            score = stats["acc1"] / 100.0
+            print("acc: {:.6f}".format(score))
+        else:
+            stats = eval_lib.evaluate_multilabel(
+                model, params, batches, args.batch_size, mesh,
+                feature_writer=writer,
+            )
+            score = stats["mAP"]
+            print("mAP: {:.6f}".format(score))
+        np.savetxt(
+            os.path.join(args.exp_dir, args.eval_result_path), [-1, score]
+        )
+        return score
+
+    ds_train = AudiosetDataset(
+        args.data_train, data_cfg, args.label_csv, train=True, seed=args.seed
+    )
+    loader_train = DataLoader(
+        ds_train, args.batch_size, shuffle=True,
+        num_workers=args.num_workers, drop_last=True, seed=args.seed,
+    )
+
+    train_cfg = cfg_lib.TrainConfig(
+        batch_size=args.batch_size,
+        epochs=args.n_epochs + 1,  # AST counts epochs 1..n_epochs
+        lr=args.lr,
+        seed=args.seed,
+        base_keep_rate=args.base_keep_rate,
+        drop_loc=drop_loc,
+        shrink_start_epoch=args.shrink_start_epoch,
+        shrink_epochs=args.shrink_epochs,
+        optimizer="ast_adam",
+        lrscheduler_start=args.lrscheduler_start,
+        lrscheduler_step=args.lrscheduler_step,
+        lrscheduler_decay=args.lrscheduler_decay,
+        warmup=bool(args.warmup),
+        keep_rate_iter_mode="per_epoch",
+        epoch_base=1,
+    )
+    module = TrainModule(
+        model=model,
+        model_cfg=model_cfg,
+        train_cfg=train_cfg,
+        loss_type=data_cfg.loss_type,
+        iters_per_epoch=len(loader_train),
+        mesh=mesh,
+    )
+    state = module.load(init_params(), seed=args.seed)
+    scratch = os.path.join(args.ramdisk_dir or args.exp_dir, "models")
+    keeper = BestCheckpointKeeper(scratch, os.path.join(args.exp_dir, "models"))
+
+    result = np.zeros([args.n_epochs, 4])
+    for epoch in range(1, args.n_epochs + 1):
+        loader_train.set_epoch(epoch)
+        if args.base_keep_rate < 1.0 and epoch >= args.shrink_start_epoch:
+            loader_train.dataset.freqm = 0
+            loader_train.dataset.timem = 0
+        state, tstats = module.train_epoch(
+            state, ast_batches(loader_train), epoch, log_every=args.n_print_steps
+        )
+        batches = ast_batches(loader_val)
+        if args.metrics == "acc":
+            vstats = eval_lib.evaluate_classification(
+                model, state.params, batches, args.batch_size, mesh
+            )
+            score = vstats["acc1"] / 100.0
+        else:
+            vstats = eval_lib.evaluate_multilabel(
+                model, state.params, batches, args.batch_size, mesh
+            )
+            score = vstats["mAP"]
+        print(f"epoch {epoch}: train_loss={tstats['loss']:.4f} score={score:.6f}")
+        result[epoch - 1] = [epoch, score, tstats["loss"], 0.0]
+        np.savetxt(os.path.join(args.exp_dir, "result.csv"), result, delimiter=",")
+        if epoch >= args.first_eval_epoch:
+            keeper.update(score, state, epoch)
+
+    keeper.finalize()
+    best_dir = os.path.join(args.exp_dir, "models", "best_model")
+    if os.path.exists(best_dir):
+        os.rename(
+            best_dir, os.path.join(args.exp_dir, "models", "best_audio_model")
+        )
+    np.savetxt(
+        os.path.join(args.exp_dir, "best_result.csv"),
+        [keeper.best_epoch, keeper.best_score],
+        delimiter=",",
+    )
+    return keeper.best_score
+
+
+if __name__ == "__main__":
+    main(get_parser().parse_args())

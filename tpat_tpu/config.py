@@ -76,6 +76,11 @@ class ViTConfig:
 
     # Compute policy (TPU): bfloat16 matmuls, float32 softmax/accumulation.
     compute_dtype: str = "float32"
+    # Attention implementation: 'xla' (einsum+softmax, reference math) or
+    # 'fused' (Pallas kernel, ops/pallas_attention.py — no HBM
+    # materialization of the probability matrix; falls back to 'xla'
+    # whenever a token mask is active, i.e. in the masked anneal phase).
+    attention_impl: str = "xla"
 
     # ---- derived helpers -------------------------------------------------
 
@@ -157,6 +162,22 @@ def audiomae_vit_large(**kw) -> ViTConfig:
         embed_dim=1024,
         depth=24,
         num_heads=16,
+        num_extra_tokens=1,
+        importance="patch_mean",
+        pooling="gap_fcnorm",
+        pos_embed_mode="pre_cls",
+        use_final_norm=False,
+        frozen_pos_embed=True,
+        **kw,
+    )
+
+
+def audiomae_vit_tiny(**kw) -> ViTConfig:
+    """Debug-scale model (not in the reference; for smokes and CI)."""
+    return ViTConfig(
+        embed_dim=192,
+        depth=6,
+        num_heads=3,
         num_extra_tokens=1,
         importance="patch_mean",
         pooling="gap_fcnorm",
@@ -308,6 +329,22 @@ class TrainConfig:
 
     first_eval_ep: int = 0
     dist_eval: bool = False
+
+    # Optimizer family: 'adamw_lrd' (AudioMAE, main_finetune.py:463-468) or
+    # 'ast_adam' (AST: Adam(lr, wd=5e-7, betas=(0.95, 0.999)) + MultiStepLR
+    # + manual 1000-step warmup, traintest.py:86-95, 160-164).
+    optimizer: str = "adamw_lrd"
+    ast_weight_decay: float = 5e-7
+    lrscheduler_start: int = 2
+    lrscheduler_step: int = 1
+    lrscheduler_decay: float = 0.5
+    warmup: bool = False  # AST manual step-warmup flag
+    warmup_steps: int = 1000
+    # AST passes it = epoch * iters_per_epoch to the keep-rate scheduler
+    # (constant within an epoch, traintest.py:168-173) and counts epochs
+    # from 1; AudioMAE anneals per iteration from epoch 0.
+    keep_rate_iter_mode: str = "per_iter"  # 'per_iter' | 'per_epoch'
+    epoch_base: int = 0
 
     def resolved_lr(self, eff_batch_size: int) -> float:
         if self.lr is not None:

@@ -1,0 +1,81 @@
+"""Host-side audio augmentations, matching the reference dataset pipeline
+(``/root/reference/audiomae/dataset.py``):
+
+- roll-mag: random circular roll of the waveform + Beta(10,10)+0.5 gain
+  (``dataset.py:168-173``)
+- waveform mixup with lambda ~ Beta(10,10) building soft labels
+  (``dataset.py:254-274``)
+- SpecAug frequency/time masking applied BEFORE normalization, masking
+  with zeros (``dataset.py:289-297``), torchaudio semantics: mask width
+  ~ U[0, param), start ~ U[0, size - width)
+- additive noise + random time roll for SPC-2/VoxCeleb
+  (``dataset.py:299-301``)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def roll_mag_aug(waveform: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """dataset.py:168-173 — note the reference rolls the flattened array
+    with idx drawn from len(waveform) where waveform is (1, N); np.roll on
+    the flat view is the same operation for mono audio."""
+    flat = waveform.reshape(-1)
+    idx = int(rng.integers(len(flat)))
+    rolled = np.roll(flat, idx)
+    mag = rng.beta(10, 10) + 0.5
+    return (rolled * mag).reshape(waveform.shape).astype(np.float32)
+
+
+def mixup_waveforms(
+    w1: np.ndarray, w2: np.ndarray, rng: np.random.Generator
+):
+    """dataset.py:193-207: pad/cut w2 to w1's length, mix with
+    lambda~Beta(10,10), re-center.  Returns (mix, lam)."""
+    n1, n2 = w1.shape[-1], w2.shape[-1]
+    if n1 != n2:
+        if n1 > n2:
+            tmp = np.zeros_like(w1)
+            tmp[..., :n2] = w2[..., :n2]
+            w2 = tmp
+        else:
+            w2 = w2[..., :n1]
+    lam = float(rng.beta(10, 10))
+    mix = lam * w1 + (1 - lam) * w2
+    mix = mix - mix.mean()
+    return mix.astype(np.float32), lam
+
+
+def spec_masking(
+    fbank: np.ndarray,
+    freqm: int,
+    timem: int,
+    rng: np.random.Generator,
+    mask_value: float = 0.0,
+) -> np.ndarray:
+    """SpecAug on a (T, F) fbank (torchaudio FrequencyMasking/TimeMasking
+    semantics: width ~ U[0, param), start uniform; one mask each)."""
+    fbank = fbank.copy()
+    t, f = fbank.shape
+    if freqm > 0:
+        width = int(rng.uniform(0.0, freqm))
+        if width > 0 and width < f:
+            start = int(rng.uniform(0.0, f - width))
+            fbank[:, start : start + width] = mask_value
+    if timem > 0:
+        width = int(rng.uniform(0.0, timem))
+        if width > 0 and width < t:
+            start = int(rng.uniform(0.0, t - width))
+            fbank[start : start + width, :] = mask_value
+    return fbank
+
+
+def noise_aug(fbank: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """dataset.py:299-301: add uniform noise scaled by a random factor and
+    roll the time axis by U[-10, 10)."""
+    fbank = fbank + rng.random(fbank.shape).astype(np.float32) * (
+        rng.random() / 10.0
+    )
+    shift = int(rng.integers(-10, 10))
+    return np.roll(fbank, shift, axis=0).astype(np.float32)

@@ -1,0 +1,197 @@
+"""Host-side datasets mirroring the reference data pipeline.
+
+- ``AudiosetDataset`` (``/root/reference/audiomae/dataset.py:128-306``,
+  near-duplicate ``ast/src/dataloader.py:57-219``): JSON manifest
+  ``{"data": [{"wav": path, "labels": "/m/x,/m/y"}]}`` + label CSV
+  ``(index, mid, display_name)``; per-item pipeline wav -> DC removal ->
+  [roll-mag] -> [waveform mixup w/ soft labels] -> Kaldi fbank ->
+  pad-with-min/crop -> [SpecAug] -> (x - mean)/(2 std) -> [noise].
+- ``VoxCeleb1Dataset`` (``dataset.py:310-417``): identification split via
+  ``iden_split.txt``, 1251-speaker one-hot labels, optional random
+  left/right padding split (lr_pad).
+
+Decoding and fbank run on the host (numpy); the engine can alternatively
+take raw padded waveforms and run the batched JAX fbank on-device
+(``ops/fbank.fbank_jax``).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tpat_tpu.config import DataConfig
+from tpat_tpu.data import augment
+from tpat_tpu.data.wav import load_wav
+from tpat_tpu.ops import fbank as fb
+
+
+def make_index_dict(label_csv: str) -> Dict[str, int]:
+    """mid -> class index (dataset.py:101-109)."""
+    out = {}
+    with open(label_csv) as f:
+        for row in csv.DictReader(f):
+            out[row["mid"]] = int(row["index"])
+    return out
+
+
+def make_name_dict(label_csv: str) -> Dict[int, str]:
+    """class index -> display name (dataset.py:111-119)."""
+    out = {}
+    with open(label_csv) as f:
+        for row in csv.DictReader(f):
+            out[int(row["index"])] = row["display_name"]
+    return out
+
+
+class AudiosetDataset:
+    def __init__(
+        self,
+        manifest_json: str,
+        data_cfg: DataConfig,
+        label_csv: str,
+        train: bool = True,
+        roll_mag_aug: bool = False,
+        seed: int = 0,
+    ):
+        with open(manifest_json) as f:
+            self.data: List[dict] = json.load(f)["data"]
+        self.cfg = data_cfg
+        self.train = train
+        self.index_dict = make_index_dict(label_csv)
+        self.label_num = len(self.index_dict)
+        self.roll_mag = roll_mag_aug and train
+        # mutable aug knobs — the engine zeroes them when shrink starts
+        # (main_finetune.py:518-522)
+        self.freqm = data_cfg.freqm if train else 0
+        self.timem = data_cfg.timem if train else 0
+        self.mixup = data_cfg.mixup if train else 0.0
+        self.noise = data_cfg.use_noise and train
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.data)
+
+    def _load_centered(self, path: str) -> np.ndarray:
+        wav, sr = load_wav(path)
+        wav = wav - wav.mean()
+        self._sr = sr
+        if self.roll_mag:
+            wav = augment.roll_mag_aug(wav, self.rng)
+        return wav
+
+    def _wav2fbank(self, path: str, path2: Optional[str] = None):
+        w1 = self._load_centered(path)
+        lam = 0.0
+        if path2 is not None:
+            w2 = self._load_centered(path2)
+            w1, lam = augment.mixup_waveforms(w1, w2, self.rng)
+        mel = fb.fbank_numpy(
+            w1[0],
+            fb.FbankConfig(
+                sample_rate=self._sr, num_mel_bins=self.cfg.num_mel_bins
+            ),
+        )
+        mel = fb.pad_or_crop(mel, self.cfg.target_length)
+        return mel, lam
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray, str]:
+        datum = self.data[index]
+        labels = np.zeros(self.label_num, dtype=np.float32)
+        if self.rng.random() < self.mixup:
+            partner = self.data[int(self.rng.integers(len(self.data)))]
+            mel, lam = self._wav2fbank(datum["wav"], partner["wav"])
+            for s in datum["labels"].split(","):
+                labels[self.index_dict[s.strip()]] += lam
+            for s in partner["labels"].split(","):
+                labels[self.index_dict[s.strip()]] += 1.0 - lam
+        else:
+            mel, _ = self._wav2fbank(datum["wav"])
+            for s in datum["labels"].split(","):
+                labels[self.index_dict[s.strip()]] = 1.0
+
+        if self.freqm or self.timem:
+            mel = augment.spec_masking(mel, self.freqm, self.timem, self.rng)
+        mel = fb.normalize(mel, self.cfg.norm_mean, self.cfg.norm_std)
+        if self.noise:
+            mel = augment.noise_aug(mel, self.rng)
+        return mel[None].astype(np.float32), labels, datum["wav"]
+
+
+class VoxCeleb1Dataset:
+    """Speaker identification over a VoxCeleb1 directory tree:
+    ``root/wav/id10001/<clip>/<utt>.wav`` with the standard
+    ``iden_split.txt`` (1=train, 2=dev, 3=test).  The reference maps
+    subset 'train'->1 and 'test'->3 and one-hots 1251 speakers
+    (dataset.py:310-417)."""
+
+    SPLIT = {"train": 1, "dev": 2, "test": 3}
+
+    def __init__(
+        self,
+        root: str,
+        subset: str,
+        data_cfg: DataConfig,
+        lr_pad: bool = False,
+        seed: int = 0,
+    ):
+        assert subset in ("train", "test")
+        self.root = root
+        self.cfg = data_cfg
+        self.train = subset == "train"
+        self.lr_pad = lr_pad and self.train
+        self.freqm = data_cfg.freqm if self.train else 0
+        self.timem = data_cfg.timem if self.train else 0
+        self.noise = data_cfg.use_noise and self.train
+        self.roll_mag = data_cfg.roll_mag_aug and self.train
+        self.rng = np.random.default_rng(seed)
+
+        split_file = os.path.join(root, "iden_split.txt")
+        want = self.SPLIT[subset]
+        self.files: List[str] = []
+        with open(split_file) as f:
+            for line in f:
+                part, rel = line.split()
+                if int(part) == want:
+                    self.files.append(rel)
+        speakers = sorted(
+            {f.split("/")[0] for f in self._scan_speakers()}
+        )
+        self.total_classes = len(speakers)
+
+    def _scan_speakers(self):
+        base = os.path.join(self.root, "wav")
+        return [d for d in os.listdir(base) if d.startswith("id")]
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, index: int):
+        rel = self.files[index]
+        spk = int(rel.split("/")[0][2:]) - 10000  # id10001 -> 1
+        label = np.zeros(self.total_classes, dtype=np.float32)
+        label[spk - 1] = 1.0
+
+        wav, sr = load_wav(os.path.join(self.root, "wav", rel))
+        wav = wav - wav.mean()
+        if self.roll_mag:
+            wav = augment.roll_mag_aug(wav, self.rng)
+        mel = fb.fbank_numpy(
+            wav[0],
+            fb.FbankConfig(sample_rate=sr, num_mel_bins=self.cfg.num_mel_bins),
+        )
+        pad_left = 0
+        deficit = self.cfg.target_length - mel.shape[0]
+        if self.lr_pad and deficit > 0:
+            pad_left = int(self.rng.integers(0, deficit + 1))
+        mel = fb.pad_or_crop(mel, self.cfg.target_length, pad_left=pad_left)
+        if self.freqm or self.timem:
+            mel = augment.spec_masking(mel, self.freqm, self.timem, self.rng)
+        mel = fb.normalize(mel, self.cfg.norm_mean, self.cfg.norm_std)
+        if self.noise:
+            mel = augment.noise_aug(mel, self.rng)
+        return mel[None].astype(np.float32), label, rel

@@ -112,6 +112,42 @@ def make_lr_fn(
     return lr_fn
 
 
+def make_ast_optimizer(
+    train_cfg: TrainConfig, lr_fn: Callable
+) -> optax.GradientTransformation:
+    """AST recipe (traintest.py:86): torch.optim.Adam(lr, weight_decay=5e-7,
+    betas=(0.95, 0.999)) — coupled L2 (decay added to the gradient BEFORE
+    the Adam moments, unlike AdamW)."""
+    return optax.chain(
+        optax.add_decayed_weights(train_cfg.ast_weight_decay),
+        optax.scale_by_adam(b1=0.95, b2=0.999, eps=1e-8),
+        optax.scale_by_schedule(lambda step: -lr_fn(step)),
+    )
+
+
+def make_ast_lr_fn(train_cfg: TrainConfig, iters_per_epoch: int) -> Callable:
+    """MultiStepLR(milestones=range(start, 1000, step), gamma=decay) stepped
+    per epoch + the manual warmup that sets lr=(step/1000)*base every 50
+    steps while step <= 1000 (traintest.py:95, 160-164)."""
+    base = train_cfg.lr if train_cfg.lr is not None else train_cfg.blr
+    start = train_cfg.lrscheduler_start
+    step_sz = max(train_cfg.lrscheduler_step, 1)
+    gamma = train_cfg.lrscheduler_decay
+
+    def lr_fn(step):
+        epoch = step // iters_per_epoch + train_cfg.epoch_base
+        completed = epoch - 1  # scheduler.step() runs at epoch end
+        count = jnp.maximum(0, (completed - start) // step_sz + 1)
+        count = jnp.where(completed >= start, count, 0)
+        lr = base * gamma ** count.astype(jnp.float32)
+        if train_cfg.warmup:
+            warm = (50.0 * (step // 50)) / train_cfg.warmup_steps * base
+            lr = jnp.where(step <= train_cfg.warmup_steps, warm, lr)
+        return lr
+
+    return lr_fn
+
+
 def global_grad_norm(grads) -> jnp.ndarray:
     """L2 norm over all leaves (util/misc.py:282-294 get_grad_norm_)."""
     leaves = jax.tree_util.tree_leaves(grads)

@@ -58,7 +58,18 @@ def bce_with_logits(logits, targets):
     return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, targets))
 
 
-LOSS_FNS = {"ce": soft_cross_entropy, "bce": bce_with_logits}
+def hard_cross_entropy(logits, targets):
+    """AST CE path: argmax the one-hot targets first (traintest.py:178-179)."""
+    idx = jnp.argmax(targets, axis=-1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, idx[:, None], axis=1))
+
+
+LOSS_FNS = {
+    "ce": soft_cross_entropy,
+    "bce": bce_with_logits,
+    "ce_hard": hard_cross_entropy,
+}
 
 
 @dataclasses.dataclass
@@ -73,20 +84,28 @@ class TrainModule:
     mesh: Any = None
 
     def __post_init__(self):
-        eff_batch = self.train_cfg.batch_size * self.train_cfg.accum_iter
-        self.lr_fn = opt_lib.make_lr_fn(
-            self.train_cfg,
-            max(self.iters_per_epoch // self.train_cfg.accum_iter, 1),
-            eff_batch,
-        )
+        if self.train_cfg.optimizer == "ast_adam":
+            self.lr_fn = opt_lib.make_ast_lr_fn(
+                self.train_cfg, max(self.iters_per_epoch, 1)
+            )
+        else:
+            eff_batch = self.train_cfg.batch_size * self.train_cfg.accum_iter
+            self.lr_fn = opt_lib.make_lr_fn(
+                self.train_cfg,
+                max(self.iters_per_epoch // self.train_cfg.accum_iter, 1),
+                eff_batch,
+            )
         self._steps: Dict[str, Callable] = {}
 
     # -- state ----------------------------------------------------------
 
     def tx(self, params) -> optax.GradientTransformation:
-        tx = opt_lib.make_optimizer(
-            params, self.model_cfg, self.train_cfg, self.lr_fn
-        )
+        if self.train_cfg.optimizer == "ast_adam":
+            tx = opt_lib.make_ast_optimizer(self.train_cfg, self.lr_fn)
+        else:
+            tx = opt_lib.make_optimizer(
+                params, self.model_cfg, self.train_cfg, self.lr_fn
+            )
         if self.train_cfg.accum_iter > 1:
             tx = optax.MultiSteps(tx, self.train_cfg.accum_iter)
         return tx
@@ -219,8 +238,13 @@ class TrainModule:
             if self.mesh is not None:
                 x, y = mesh_lib.shard_batch(self.mesh, (x, y))
             if phase == "anneal":
+                sched_it = (
+                    it
+                    if cfg.keep_rate_iter_mode == "per_epoch"
+                    else it + i
+                )
                 rates = schedules.scheduled_keep_rates(
-                    it + i,
+                    sched_it,
                     epoch,
                     shrink_start_epoch=cfg.shrink_start_epoch,
                     total_epochs=cfg.shrink_start_epoch + cfg.shrink_epochs,

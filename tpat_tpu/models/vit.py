@@ -116,6 +116,7 @@ class PrunedAttention(nn.Module):
             importance=cfg.importance,
             token_mask=token_mask,
             need_scores=need_scores,
+            impl=cfg.attention_impl,
         )
         # attn_drop (models_vit.py:93) intentionally omitted from the score
         # path: attn_drop_rate == 0.0 in every reference configuration.

@@ -38,6 +38,7 @@ def attention_with_scores(
     token_mask: Optional[jnp.ndarray] = None,
     need_scores: bool = True,
     softmax_dtype: jnp.dtype = jnp.float32,
+    impl: str = "xla",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Scaled-dot-product attention returning (output, importance_scores).
 
@@ -52,6 +53,12 @@ def attention_with_scores(
         scores: (B, P) float32 importance per patch token (None if
                 ``need_scores`` is False).
     """
+    if impl == "fused" and token_mask is None:
+        from tpat_tpu.ops.pallas_attention import fused_attention_with_scores
+
+        mode = importance if need_scores else None
+        return fused_attention_with_scores(q, k, v, mode, num_extra_tokens)
+
     b, h, n, dh = q.shape
     scale = dh ** -0.5
     logits = jnp.einsum(

@@ -66,7 +66,7 @@ def combine_feature_dict(path: str, key: str) -> Union[np.ndarray, List]:
         + glob.glob(os.path.join(path, f"{key}.*.npy"))
     )
     if not files:
-        raise FileNotFoundError(f"no feature files for key {key!r} in {path}")
+        return None  # the analysis loops key on this (extract_stats.py:237)
     parts = [_load_one(f) for f in files]
     if isinstance(parts[0], list):
         out: List = []
