@@ -1,0 +1,171 @@
+"""MAE pretraining driver.
+
+The reference *references* a ``main_pretrain.py`` (``run_pretrain.sh:18``)
+that does not exist in the repo (SURVEY.md §2 #6) — this driver completes
+the workflow: masked-autoencoder pretraining on spectrograms with the MAE
+recipe (AdamW betas (0.9, 0.95), lr = blr * eff_batch / 256, per-iteration
+warmup + cosine, bf16-ready), SPMD over the data mesh, orbax checkpoints
+whose encoder weights feed directly into the finetune driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("tpat_tpu MAE pretraining", add_help=False)
+    p.add_argument("--batch_size", default=64, type=int)
+    p.add_argument("--epochs", default=32, type=int)
+    p.add_argument("--blr", type=float, default=2e-4)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--min_lr", type=float, default=0.0)
+    p.add_argument("--warmup_epochs", type=float, default=4)
+    p.add_argument("--weight_decay", type=float, default=0.0001)
+    p.add_argument("--mask_ratio", default=0.8, type=float)
+    p.add_argument("--mask_2d", action="store_true")
+    p.add_argument("--mask_t_prob", default=0.7, type=float)
+    p.add_argument("--mask_f_prob", default=0.3, type=float)
+    p.add_argument("--norm_pix_loss", action="store_true")
+    p.add_argument("--decoder_mode", default=1, type=int)
+    p.add_argument("--dataset", default="audioset")
+    p.add_argument("--data_train", required=True)
+    p.add_argument("--label_csv", required=True)
+    p.add_argument("--roll_mag_aug", default=True, type=bool)
+    p.add_argument("--output_dir", default="./pretrain_out")
+    p.add_argument("--num_workers", default=4, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--save_every_epochs", default=4, type=int)
+    p.add_argument("--model", default="mae_vit_base",
+                   choices=["mae_vit_base", "mae_vit_tiny"])
+    return p
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpat_tpu import config as cfg_lib
+    from tpat_tpu.data.datasets import AudiosetDataset
+    from tpat_tpu.data.loader import DataLoader
+    from tpat_tpu.engine import schedules
+    from tpat_tpu.models.mae import MAEConfig, MaskedAutoencoderViT, mae_vit_base_dec512d8b
+    from tpat_tpu.parallel import mesh as mesh_lib
+    from tpat_tpu.utils import checkpoint as ckpt_lib
+
+    preset = cfg_lib.DATASET_PRESETS[args.dataset]
+    import dataclasses
+
+    data_cfg = dataclasses.replace(preset, freqm=0, timem=0, mixup=0.0)
+    ds = AudiosetDataset(
+        args.data_train, data_cfg, args.label_csv, train=True,
+        roll_mag_aug=args.roll_mag_aug, seed=args.seed,
+    )
+    loader = DataLoader(
+        ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
+        drop_last=True, seed=args.seed,
+    )
+
+    common = dict(
+        target_length=data_cfg.target_length,
+        num_mel_bins=data_cfg.num_mel_bins,
+        decoder_mode=args.decoder_mode,
+        norm_pix_loss=args.norm_pix_loss,
+        mask_2d=args.mask_2d,
+        mask_t_prob=args.mask_t_prob,
+        mask_f_prob=args.mask_f_prob,
+    )
+    if args.model == "mae_vit_base":
+        cfg = mae_vit_base_dec512d8b(**common)
+    else:
+        cfg = MAEConfig(
+            embed_dim=192, depth=4, num_heads=3, decoder_embed_dim=128,
+            decoder_depth=2, decoder_num_heads=4, **common,
+        )
+    model = MaskedAutoencoderViT(cfg)
+
+    mesh = mesh_lib.make_mesh()
+    lr = args.lr if args.lr else args.blr * args.batch_size / 256.0
+
+    x0 = jnp.zeros((1, 1, cfg.target_length, cfg.num_mel_bins))
+    params = model.init(
+        {"params": jax.random.PRNGKey(args.seed),
+         "masking": jax.random.PRNGKey(1)},
+        x0, args.mask_ratio,
+    )["params"]
+
+    iters_per_epoch = len(loader)
+
+    def lr_fn(step):
+        return schedules.warmup_cosine_lr(
+            step / iters_per_epoch,
+            lr=lr, min_lr=args.min_lr,
+            warmup_epochs=args.warmup_epochs, total_epochs=args.epochs,
+        )
+
+    tx = optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.95),
+        optax.add_decayed_weights(
+            args.weight_decay,
+            mask=jax.tree_util.tree_map(lambda p: p.ndim > 1, params),
+        ),
+        optax.scale_by_schedule(lambda s: -lr_fn(s)),
+    )
+    opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(args.seed)
+    rep = mesh_lib.replicated_sharding(mesh)
+    params, opt_state = jax.device_put((params, opt_state), rep)
+
+    @jax.jit
+    def train_step(params, opt_state, rng, step, x):
+        def loss_fn(p):
+            loss, _, _ = model.apply(
+                {"params": p}, x, args.mask_ratio,
+                rngs={"masking": jax.random.fold_in(rng, step)},
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    step = 0
+    t0 = time.time()
+    for epoch in range(args.epochs):
+        loader.set_epoch(epoch)
+        losses = []
+        for x, _y, _ids in loader:
+            x = mesh_lib.shard_batch(mesh, jnp.asarray(x))
+            params, opt_state, loss = train_step(
+                params, opt_state, rng, jnp.asarray(step), x
+            )
+            losses.append(float(loss))
+            step += 1
+        mean_loss = float(np.mean(losses))
+        print(f"epoch {epoch}: loss={mean_loss:.4f} lr={float(lr_fn(step)):.2e}")
+        with open(out / "log.txt", "a") as f:
+            f.write(json.dumps({"epoch": epoch, "loss": mean_loss}) + "\n")
+        if (epoch + 1) % args.save_every_epochs == 0 or epoch == args.epochs - 1:
+
+            class _S:  # minimal state envelope for save_checkpoint
+                pass
+
+            s = _S()
+            s.params, s.opt_state, s.step = params, opt_state, step
+            ckpt_lib.save_checkpoint(
+                str(out / f"checkpoint-{epoch:03d}"), s, epoch
+            )
+    print(f"pretraining done in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

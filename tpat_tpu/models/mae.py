@@ -1,0 +1,374 @@
+"""Masked Autoencoder for spectrograms (pretraining model).
+
+Re-derivation of ``/root/reference/audiomae/models_mae.py``: ViT encoder on
+visible patches + lightweight decoder over the de-shuffled full sequence,
+masked-patch MSE loss with optional per-patch pixel normalization
+(``models_mae.py:405-421``).  Masking flavors (``:225-303``):
+
+- unstructured ``random_masking``: keep int(L*(1-ratio)) tokens by argsort
+  of per-token noise
+- structured ``random_masking_2d``: drop whole time rows and freq columns
+  of the (T/16, 8) patch grid; the kept count is the product of kept rows
+  and columns (999-offset argsort composition trick replicated exactly)
+
+Decoders (``decoder_mode``):
+- 0: plain transformer blocks over [cls + unshuffled tokens]
+- 1: shifted-window (Swin-style) blocks over the (64, 8) patch grid with
+  window (4, 4) and alternating (0,0)/(2,0) shifts (``models_mae.py:76-109``).
+  NOTE: the reference imports timm's swin_v2_cr block here; its pretrain
+  driver (main_pretrain.py) is missing upstream so no runnable workflow
+  depends on that exact parameterization — this implementation uses a
+  standard windowed attention with relative position bias (checkpoint
+  import of the *encoder* is unaffected: finetuning drops decoder weights,
+  main_finetune.py:414 strict=False).
+
+Unlike the reference, a runnable pretraining engine is provided
+(``tpat_tpu/engine/pretrain.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpat_tpu.config import ViTConfig
+from tpat_tpu.models import pos_embed as pe
+from tpat_tpu.models.vit import Block, Mlp, PatchEmbed, _trunc02
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class MAEConfig:
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    decoder_embed_dim: int = 512
+    decoder_depth: int = 16
+    decoder_num_heads: int = 16
+    decoder_mode: int = 1  # 0 = transformer, 1 = shifted-window
+    window_size: Tuple[int, int] = (4, 4)
+    mlp_ratio: float = 4.0
+    patch_size: int = 16
+    target_length: int = 1024
+    num_mel_bins: int = 128
+    norm_pix_loss: bool = False
+    mask_2d: bool = False
+    mask_t_prob: float = 0.7
+    mask_f_prob: float = 0.3
+    compute_dtype: str = "float32"
+
+    @property
+    def grid(self) -> Tuple[int, int]:
+        return (
+            self.target_length // self.patch_size,
+            self.num_mel_bins // self.patch_size,
+        )
+
+    @property
+    def num_patches(self) -> int:
+        t, f = self.grid
+        return t * f
+
+    def encoder_vit_config(self) -> ViTConfig:
+        return ViTConfig(
+            embed_dim=self.embed_dim,
+            depth=self.depth,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            target_length=self.target_length,
+            num_mel_bins=self.num_mel_bins,
+            drop_loc=(),
+            base_keep_rate=1.0,
+            drop_path_rate=0.0,
+            compute_dtype=self.compute_dtype,
+        )
+
+    def decoder_vit_config(self) -> ViTConfig:
+        return ViTConfig(
+            embed_dim=self.decoder_embed_dim,
+            depth=self.decoder_depth,
+            num_heads=self.decoder_num_heads,
+            mlp_ratio=self.mlp_ratio,
+            target_length=self.target_length,
+            num_mel_bins=self.num_mel_bins,
+            drop_loc=(),
+            base_keep_rate=1.0,
+            drop_path_rate=0.0,
+            compute_dtype=self.compute_dtype,
+        )
+
+
+class WindowAttention(nn.Module):
+    """Windowed MSA with learned relative position bias."""
+
+    dim: int
+    num_heads: int
+    window: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        # x: (num_windows*B, tokens, dim)
+        b, n, c = x.shape
+        h = self.num_heads
+        wh, ww = self.window
+        assert n == wh * ww
+        qkv = nn.Dense(3 * c, name="qkv", kernel_init=_trunc02)(x)
+        qkv = qkv.reshape(b, n, 3, h, c // h).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (c // h) ** -0.5
+
+        bias_table = self.param(
+            "rel_pos_bias",
+            _trunc02,
+            ((2 * wh - 1) * (2 * ww - 1), h),
+        )
+        coords = np.stack(
+            np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
+        ).reshape(2, -1)
+        rel = coords[:, :, None] - coords[:, None, :]
+        rel_idx = (rel[0] + wh - 1) * (2 * ww - 1) + (rel[1] + ww - 1)
+        bias = bias_table[jnp.asarray(rel_idx.reshape(-1))]
+        bias = bias.reshape(n, n, h).transpose(2, 0, 1)
+        logits = logits + bias[None]
+
+        p = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        return nn.Dense(c, name="proj", kernel_init=_trunc02)(out)
+
+
+class SwinBlock(nn.Module):
+    """Shifted-window transformer block over a (T, F) token grid."""
+
+    dim: int
+    num_heads: int
+    feat_size: Tuple[int, int]
+    window: Tuple[int, int]
+    shift: Tuple[int, int]
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        # x: (B, T*F, D)
+        b, l, d = x.shape
+        t, f = self.feat_size
+        wh, ww = self.window
+        st, sf = self.shift
+        assert l == t * f
+
+        shortcut = x
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x).reshape(b, t, f, d)
+        if st or sf:
+            h = jnp.roll(h, shift=(-st, -sf), axis=(1, 2))
+        # window partition
+        h = h.reshape(b, t // wh, wh, f // ww, ww, d)
+        h = h.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww, d)
+        h = WindowAttention(d, self.num_heads, self.window, name="attn")(h)
+        # reverse
+        h = h.reshape(b, t // wh, f // ww, wh, ww, d)
+        h = h.transpose(0, 1, 3, 2, 4, 5).reshape(b, t, f, d)
+        if st or sf:
+            h = jnp.roll(h, shift=(st, sf), axis=(1, 2))
+        x = shortcut + h.reshape(b, l, d)
+
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = Mlp(int(d * self.mlp_ratio), d, 0.0, jnp.float32, name="mlp")(h)
+        return x + h
+
+
+class MaskedAutoencoderViT(nn.Module):
+    cfg: MAEConfig
+
+    def setup(self):
+        cfg = self.cfg
+        enc_cfg = cfg.encoder_vit_config()
+        dec_cfg = cfg.decoder_vit_config()
+        d, dd = cfg.embed_dim, cfg.decoder_embed_dim
+        p = cfg.num_patches
+
+        self.patch_embed = PatchEmbed(enc_cfg)
+        self.cls_token = self.param("cls_token", _trunc02, (1, 1, d))
+        pos = pe.sincos_2d(d, cfg.grid, cls_token=True)[None].astype(np.float32)
+        self.pos_embed = self.param(
+            "pos_embed", lambda rng, shape: jnp.asarray(pos), (1, p + 1, d)
+        )
+        self.blocks = [
+            Block(enc_cfg, block_id=i, drop_path_rate=0.0, name=f"blocks_{i}")
+            for i in range(cfg.depth)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-6)
+
+        self.decoder_embed = nn.Dense(dd, kernel_init=_trunc02)
+        self.mask_token = self.param("mask_token", _trunc02, (1, 1, dd))
+        dpos = pe.sincos_2d(dd, cfg.grid, cls_token=True)[None].astype(np.float32)
+        self.decoder_pos_embed = self.param(
+            "decoder_pos_embed", lambda rng, shape: jnp.asarray(dpos),
+            (1, p + 1, dd),
+        )
+        if cfg.decoder_mode == 1:
+            self.decoder_blocks = [
+                SwinBlock(
+                    dim=dd,
+                    num_heads=cfg.decoder_num_heads,
+                    feat_size=cfg.grid,
+                    window=cfg.window_size,
+                    shift=(0, 0) if i % 2 == 0 else (2, 0),
+                    mlp_ratio=cfg.mlp_ratio,
+                    name=f"decoder_blocks_{i}",
+                )
+                for i in range(cfg.decoder_depth)
+            ]
+        else:
+            self.decoder_blocks = [
+                Block(dec_cfg, block_id=i, drop_path_rate=0.0,
+                      name=f"decoder_blocks_{i}")
+                for i in range(cfg.decoder_depth)
+            ]
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-6)
+        self.decoder_pred = nn.Dense(
+            cfg.patch_size ** 2, kernel_init=_trunc02
+        )
+
+    # -- patch math ------------------------------------------------------
+
+    def patchify(self, imgs: Array) -> Array:
+        """(B, 1, H, W) -> (B, L, p*p) (models_mae.py:179-211)."""
+        p = self.cfg.patch_size
+        b, c, hh, ww = imgs.shape
+        h, w = hh // p, ww // p
+        x = imgs.reshape(b, 1, h, p, w, p)
+        x = jnp.einsum("nchpwq->nhwpqc", x)
+        return x.reshape(b, h * w, p * p)
+
+    def unpatchify(self, x: Array) -> Array:
+        p = self.cfg.patch_size
+        t, f = self.cfg.grid
+        b = x.shape[0]
+        x = x.reshape(b, t, f, p, p, 1)
+        x = jnp.einsum("nhwpqc->nchpwq", x)
+        return x.reshape(b, 1, t * p, f * p)
+
+    # -- masking ---------------------------------------------------------
+
+    def random_masking(self, x: Array, mask_ratio: float, rng) -> Tuple:
+        b, l, d = x.shape
+        len_keep = int(l * (1 - mask_ratio))
+        noise = jax.random.uniform(rng, (b, l))
+        ids_shuffle = jnp.argsort(noise, axis=1)
+        ids_restore = jnp.argsort(ids_shuffle, axis=1)
+        ids_keep = ids_shuffle[:, :len_keep]
+        x_masked = jnp.take_along_axis(x, ids_keep[..., None], axis=1)
+        mask = jnp.ones((b, l))
+        mask = mask.at[:, :len_keep].set(0)
+        mask = jnp.take_along_axis(mask, ids_restore, axis=1)
+        return x_masked, mask, ids_restore
+
+    def random_masking_2d(self, x: Array, mask_t_prob, mask_f_prob, rng):
+        """models_mae.py:252-303 — union of masked time rows and freq
+        columns; kept ids via the 999-offset argsort composition."""
+        b, l, d = x.shape
+        t, f = self.cfg.grid
+        len_keep_t = int(t * (1 - mask_t_prob))
+        len_keep_f = int(f * (1 - mask_f_prob))
+        rng_t, rng_f = jax.random.split(rng)
+
+        noise_t = jax.random.uniform(rng_t, (b, t))
+        ids_shuffle_t = jnp.argsort(noise_t, axis=1)
+        ids_restore_t = jnp.argsort(ids_shuffle_t, axis=1)
+        noise_f = jax.random.uniform(rng_f, (b, f))
+        ids_shuffle_f = jnp.argsort(noise_f, axis=1)
+        ids_restore_f = jnp.argsort(ids_shuffle_f, axis=1)
+
+        mask_f = jnp.ones((b, f)).at[:, :len_keep_f].set(0)
+        mask_f = jnp.take_along_axis(mask_f, ids_restore_f, axis=1)
+        mask_f = jnp.tile(mask_f[:, None, :], (1, t, 1))  # (B, T, F)
+        mask_t = jnp.ones((b, t)).at[:, :len_keep_t].set(0)
+        mask_t = jnp.take_along_axis(mask_t, ids_restore_t, axis=1)
+        mask_t = jnp.tile(mask_t[:, :, None], (1, 1, f))  # (B, T, F)
+        mask = 1 - (1 - mask_t) * (1 - mask_f)
+
+        id2res = jnp.arange(t * f, dtype=jnp.float32)[None, :].repeat(b, 0)
+        id2res = id2res + 999.0 * mask.reshape(b, -1)
+        id2res2 = jnp.argsort(id2res, axis=1)
+        ids_keep = id2res2[:, : len_keep_t * len_keep_f]
+        x_masked = jnp.take_along_axis(x, ids_keep[..., None], axis=1)
+        ids_restore = jnp.argsort(id2res2, axis=1)
+        return x_masked, mask.reshape(b, -1), ids_restore
+
+    # -- forward ---------------------------------------------------------
+
+    def forward_encoder(self, x, mask_ratio, rng, mask_2d=False):
+        cfg = self.cfg
+        x = self.patch_embed(x)
+        x = x + self.pos_embed[:, 1:, :]
+        if mask_2d:
+            x, mask, ids_restore = self.random_masking_2d(
+                x, cfg.mask_t_prob, cfg.mask_f_prob, rng
+            )
+        else:
+            x, mask, ids_restore = self.random_masking(x, mask_ratio, rng)
+        cls = self.cls_token + self.pos_embed[:, :1, :]
+        cls = jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1)
+        for blk in self.blocks:
+            x, _ = blk(x, keep_rate=1.0)
+        x = self.norm(x)
+        return x, mask, ids_restore
+
+    def forward_decoder(self, x, ids_restore):
+        cfg = self.cfg
+        x = self.decoder_embed(x)
+        b = x.shape[0]
+        n_mask = ids_restore.shape[1] + 1 - x.shape[1]
+        mask_tokens = jnp.broadcast_to(
+            self.mask_token, (b, n_mask, cfg.decoder_embed_dim)
+        )
+        x_ = jnp.concatenate([x[:, 1:, :], mask_tokens], axis=1)
+        x_ = jnp.take_along_axis(x_, ids_restore[..., None], axis=1)
+        x = jnp.concatenate([x[:, :1, :], x_], axis=1)
+        x = x + self.decoder_pos_embed
+
+        if cfg.decoder_mode == 1:
+            x = x[:, 1:, :]  # swin decoder drops cls (models_mae.py:370-373)
+            for blk in self.decoder_blocks:
+                x = blk(x)
+            x = self.decoder_norm(x)
+            return self.decoder_pred(x)
+        for blk in self.decoder_blocks:
+            x, _ = blk(x, keep_rate=1.0)
+        x = self.decoder_norm(x)
+        return self.decoder_pred(x)[:, 1:, :]
+
+    def loss(self, imgs, pred, mask):
+        """Masked-patch MSE (models_mae.py:405-421)."""
+        target = self.patchify(imgs)
+        if self.cfg.norm_pix_loss:
+            mean = target.mean(axis=-1, keepdims=True)
+            var = target.var(axis=-1, keepdims=True)
+            target = (target - mean) / jnp.sqrt(var + 1e-6)
+        per_patch = jnp.mean((pred - target) ** 2, axis=-1)
+        return jnp.sum(per_patch * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    def __call__(self, imgs, mask_ratio: float = 0.8, *, mask_2d=None, rng=None):
+        if rng is None:
+            rng = self.make_rng("masking")
+        mask_2d = self.cfg.mask_2d if mask_2d is None else mask_2d
+        latent, mask, ids_restore = self.forward_encoder(
+            imgs, mask_ratio, rng, mask_2d=mask_2d
+        )
+        pred = self.forward_decoder(latent, ids_restore)
+        loss = self.loss(imgs, pred, mask)
+        return loss, pred, mask
+
+
+def mae_vit_base_dec512d8b(**kw) -> MAEConfig:
+    """models_mae.py:134-139 factory geometry."""
+    kw.setdefault("decoder_depth", 8)
+    return MAEConfig(embed_dim=768, depth=12, num_heads=12,
+                     decoder_embed_dim=512, decoder_num_heads=16, **kw)
