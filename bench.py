@@ -133,7 +133,7 @@ def main():
         print(f"baseline measurement failed: {e}", file=sys.stderr)
         baseline = None
     result = {
-        "metric": "clips/sec/chip ViT-B keep0.7 ESC-50 eval (bf16)",
+        "metric": "clips/sec/chip ViT-B keep0.7 ESC-50 eval (bf16, fused attention)",
         "value": round(value, 1),
         "unit": "clips/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,

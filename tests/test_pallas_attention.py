@@ -14,7 +14,7 @@ from tpat_tpu.ops.attention import attention_with_scores
 from tpat_tpu.ops.pallas_attention import fused_attention_with_scores
 
 
-def qkv(rng, b=2, h=3, n=17, d=8):
+def qkv(rng, b=2, h=2, n=17, d=64):  # d=64 -> packed fused kernel path
     return tuple(
         jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
         for _ in range(3)
@@ -67,7 +67,7 @@ def test_model_fused_matches_xla(rng):
     from tpat_tpu.models.vit import AudioViT
 
     base = dict(
-        embed_dim=96, depth=3, num_heads=2, num_classes=7,
+        embed_dim=128, depth=3, num_heads=2, num_classes=7,
         target_length=64, num_mel_bins=32, drop_loc=(1,),
         base_keep_rate=0.6, drop_path_rate=0.0,
     )
@@ -87,3 +87,26 @@ def test_model_fused_matches_xla(rng):
         np.asarray(feats_f["block-1.topk_idx"]),
         np.asarray(feats_x["block-1.topk_idx"]),
     )
+
+
+def test_supports_predicate():
+    from tpat_tpu.ops.pallas_attention import supports
+
+    assert supports(12, 64)  # ViT-B
+    assert supports(6, 64)  # ViT-S
+    assert supports(2, 64)
+    assert not supports(3, 8)  # tiny test dims -> XLA fallback
+    assert not supports(16, 80)  # ViT-H
+
+
+def test_fallback_path_small_heads(rng):
+    # unsupported head geometry must silently use the XLA math
+    q = jnp.asarray(rng.normal(size=(2, 3, 9, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 3, 9, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 3, 9, 8)).astype(np.float32))
+    out_f, s_f = fused_attention_with_scores(q, k, v, "patch_mean", 1)
+    out_x, s_x = attention_with_scores(
+        q, k, v, num_extra_tokens=1, importance="patch_mean", need_scores=True
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x), rtol=1e-6)

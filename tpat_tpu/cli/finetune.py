@@ -211,6 +211,7 @@ def build_everything(args):
         loss_type=data_cfg.loss_type,
         iters_per_epoch=len(loader_train) if loader_train else 1,
         mesh=mesh,
+        custom_rank=args.custom_rank,
     )
     return model, model_cfg, data_cfg, module, loader_train, loader_val
 
@@ -264,6 +265,12 @@ def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
         if args.label_csv:
             index_to_name = make_name_dict(args.label_csv)
 
+    intensity_band = None
+    if args.drop_token_blk_idx is not None:
+        # reference asserts eval + keep 1.0 + batch 1 (main_finetune.py:336)
+        assert args.base_keep_rate == 1.0, "band ablation needs keep 1.0"
+        intensity_band = (args.retain_min, args.retain_max, args.drop_token_blk_idx)
+
     batches = ((x, y) for x, y, _ in loader_val)
     if args.dataset == "audioset":
         stats = eval_lib.evaluate_multilabel(
@@ -275,6 +282,7 @@ def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
         stats = eval_lib.evaluate_classification(
             model, params, batches, args.batch_size, module.mesh,
             feature_writer=writer, index_to_name=index_to_name,
+            custom_rank=args.custom_rank, intensity_band=intensity_band,
         )
         metric = "acc1"
     print(f"{metric}: {stats[metric]:.4f}")
@@ -285,6 +293,7 @@ def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
 
 
 def main(args):
+    import jax
     import jax.numpy as jnp
 
     from tpat_tpu.engine import evaluate as eval_lib
@@ -310,6 +319,19 @@ def main(args):
         yaml.dump(vars(args), f)
 
     state = module.load(params, seed=args.seed)
+    if args.resume:
+        from tpat_tpu.utils.checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(args.resume)
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+            opt_state=jax.tree_util.tree_map(
+                jnp.asarray, restored["opt_state"]
+            ),
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+        args.start_epoch = restored["epoch"] + 1
+        print(f"resumed from {args.resume} at epoch {args.start_epoch}")
     scratch = args.ramdisk_dir or str(out / "scratch")
     keeper = BestCheckpointKeeper(scratch, str(out))
     metric = "mAP" if args.dataset == "audioset" else "acc1"

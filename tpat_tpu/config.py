@@ -80,7 +80,7 @@ class ViTConfig:
     # 'fused' (Pallas kernel, ops/pallas_attention.py — no HBM
     # materialization of the probability matrix; falls back to 'xla'
     # whenever a token mask is active, i.e. in the masked anneal phase).
-    attention_impl: str = "xla"
+    attention_impl: str = "fused"
 
     # ---- derived helpers -------------------------------------------------
 

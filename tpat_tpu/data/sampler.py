@@ -55,3 +55,23 @@ class EpochShardSampler:
 def eval_shard(dataset_len: int, world: int = 1, rank: int = 0) -> List[int]:
     """Unpadded eval sharding: indices[rank::world] (util/sampler.py:97)."""
     return list(range(dataset_len))[rank::world]
+
+
+class WeightedShardSampler(EpochShardSampler):
+    """Class-balanced sampling with replacement per shard — the
+    DistributedWeightedSampler the reference carries but never wires up
+    (``dataset.py:42-98``; ``ast/src/run.py:171-173`` asserts on --bal).
+    Functional here: per-epoch deterministic multinomial over per-sample
+    weights after the usual shuffle+shard."""
+
+    def __init__(self, weights, **kw):
+        super().__init__(dataset_len=len(weights), **kw)
+        self.weights = np.asarray(weights, dtype=np.float64)
+
+    def indices(self) -> List[int]:
+        base = np.asarray(super().indices())
+        g = np.random.default_rng(self.seed + self.epoch + 7919)
+        w = self.weights[base]
+        p = w / w.sum()
+        picked = g.choice(len(base), size=len(base), replace=True, p=p)
+        return base[picked].tolist()

@@ -23,10 +23,37 @@ from tpat_tpu.models.vit import AudioViT
 from tpat_tpu.parallel import mesh as mesh_lib
 
 
-def make_eval_step(model: AudioViT, mesh=None, extract_features: bool = False):
+def make_eval_step(
+    model: AudioViT,
+    mesh=None,
+    extract_features: bool = False,
+    custom_rank=None,
+    intensity_band=None,
+):
+    if intensity_band is not None:
+        # intensity-band drop ablation (models_vit.py:353-385): masked path
+        # with the band applied after the chosen block; returns
+        # (logits, kept_counts) so callers skip empty samples.
+        lo, hi, blk = intensity_band
+        depth = model.cfg.depth
+
+        def fwd_band(params, x):
+            return model.apply(
+                {"params": params},
+                x,
+                jnp.asarray(model.cfg.keep_rates, jnp.float32),
+                intensity_band=(jnp.float32(lo), jnp.float32(hi), blk),
+                method=AudioViT.forward_masked,
+            )
+
+        return jax.jit(fwd_band)
+
     def fwd(params, x):
         return model.apply(
-            {"params": params}, x, extract_features=extract_features
+            {"params": params},
+            x,
+            extract_features=extract_features,
+            custom_rank=custom_rank,
         )
 
     return jax.jit(fwd)
@@ -40,6 +67,7 @@ def _run_batches(
     mesh=None,
     feature_writer=None,
     index_to_name=None,
+    band_mode: bool = False,
 ):
     all_logits, all_targets = [], []
     for bidx, (x, y) in enumerate(batches):
@@ -50,6 +78,12 @@ def _run_batches(
         if mesh is not None:
             x = mesh_lib.shard_batch(mesh, x)
         out = eval_step(params, jnp.asarray(x))
+        if band_mode:
+            logits, kept = out
+            keepers = np.asarray(kept)[:n] > 0  # skip emptied samples
+            all_logits.append(np.asarray(logits)[:n][keepers])
+            all_targets.append(np.asarray(y)[keepers])
+            continue
         if feature_writer is not None:
             logits, features = out
             if index_to_name is not None:
@@ -78,12 +112,18 @@ def evaluate_classification(
     mesh=None,
     feature_writer=None,
     index_to_name=None,
+    custom_rank=None,
+    intensity_band=None,
 ) -> Dict[str, float]:
     """Single-label eval: acc1/acc5 + CE loss on argmax targets
     (engine_finetune.py:145-202)."""
-    step = make_eval_step(model, mesh, extract_features=feature_writer is not None)
+    step = make_eval_step(
+        model, mesh, extract_features=feature_writer is not None,
+        custom_rank=custom_rank, intensity_band=intensity_band,
+    )
     logits, targets = _run_batches(
-        step, params, batches, batch_size, mesh, feature_writer, index_to_name
+        step, params, batches, batch_size, mesh, feature_writer,
+        index_to_name, band_mode=intensity_band is not None,
     )
     tgt_idx = np.argmax(targets, axis=1)
     acc1, acc5 = metrics_lib.topk_accuracy(logits, tgt_idx, ks=(1, 5))

@@ -82,6 +82,9 @@ class TrainModule:
     loss_type: str
     iters_per_epoch: int
     mesh: Any = None
+    # custom-rank ablation (models_vit.py:341-351): replace attention
+    # importance with per-patch mel mean/std; static phases only.
+    custom_rank: Any = None
 
     def __post_init__(self):
         if self.train_cfg.optimizer == "ast_adam":
@@ -115,6 +118,9 @@ class TrainModule:
     def _forward(self, params, x, rngs, phase: str, keep_rates, mask_prob: float):
         model = self.model
         if phase == "anneal":
+            assert self.custom_rank is None, (
+                "custom-rank ablation is static-phase only"
+            )
             return model.apply(
                 {"params": params},
                 x,
@@ -130,6 +136,7 @@ class TrainModule:
             keep_rates=kr,
             mask_t_prob=mask_prob,
             mask_f_prob=mask_prob,
+            custom_rank=self.custom_rank,
             deterministic=False,
             rngs=rngs,
         )

@@ -75,6 +75,61 @@ def crop_time_audio_pos_embed(
     return np.concatenate([extras, patches], axis=1)
 
 
+def interpolate_square_pos_embed(
+    pos_embed: np.ndarray, new_size: int, num_extra_tokens: int = 1
+) -> np.ndarray:
+    """Square bicubic pos-embed interpolation — ``interpolate_pos_embed``
+    (``util/pos_embed.py:93-114``): for image-pretrained checkpoints whose
+    grid side differs from the target."""
+    import jax
+
+    d = pos_embed.shape[-1]
+    n = pos_embed.shape[1] - num_extra_tokens
+    orig = int(n ** 0.5)
+    if orig == new_size:
+        return pos_embed
+    extras = pos_embed[:, :num_extra_tokens]
+    grid = pos_embed[:, num_extra_tokens:].reshape(1, orig, orig, d)
+    grid = np.asarray(
+        jax.image.resize(grid, (1, new_size, new_size, d), method="bicubic")
+    )
+    return np.concatenate(
+        [extras, grid.reshape(1, new_size * new_size, d)], axis=1
+    )
+
+
+def interpolate_img2audio_pos_embed(
+    pos_embed: np.ndarray,
+    orig_size: Tuple[int, int],
+    new_size: Tuple[int, int],
+    num_extra_tokens: int = 1,
+) -> np.ndarray:
+    """Rectangular bicubic interpolation — ``interpolate_pos_embed_
+    img2audio`` (``util/pos_embed.py:116-137``): adapt an image grid (e.g.
+    14x14) to an audio grid (e.g. 8x64)."""
+    import jax
+
+    if orig_size == new_size:
+        return pos_embed
+    d = pos_embed.shape[-1]
+    extras = pos_embed[:, :num_extra_tokens]
+    grid = pos_embed[:, num_extra_tokens:].reshape(
+        1, orig_size[0], orig_size[1], d
+    )
+    grid = np.asarray(
+        jax.image.resize(grid, (1, new_size[0], new_size[1], d), method="bicubic")
+    )
+    return np.concatenate(
+        [extras, grid.reshape(1, new_size[0] * new_size[1], d)], axis=1
+    )
+
+
+def sum_rgb_patch_embed(kernel: np.ndarray) -> np.ndarray:
+    """RGB->1ch patch-embed adaptation by channel sum
+    (``util/pos_embed.py:162-167``); kernel in flax layout (kh, kw, C, D)."""
+    return kernel.sum(axis=2, keepdims=True)
+
+
 def center_crop_time_ast_pos_embed(
     pos_embed: np.ndarray,
     t_dim: int,

@@ -107,20 +107,37 @@ class PrunedAttention(nn.Module):
             3 * c, use_bias=cfg.qkv_bias, dtype=_dtype(cfg), name="qkv",
             kernel_init=_trunc02,
         )(x)
-        qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
-        out, scores = attention_with_scores(
-            q, k, v,
-            num_extra_tokens=cfg.num_extra_tokens,
-            importance=cfg.importance,
-            token_mask=token_mask,
-            need_scores=need_scores,
-            impl=cfg.attention_impl,
+        from tpat_tpu.ops.pallas_attention import (
+            fused_qkv_attention,
+            supports as fused_supports,
         )
-        # attn_drop (models_vit.py:93) intentionally omitted from the score
-        # path: attn_drop_rate == 0.0 in every reference configuration.
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+        if (
+            cfg.attention_impl == "fused"
+            and token_mask is None
+            and fused_supports(h, dh)
+        ):
+            # Packed fast path: the fused kernel consumes the Dense output
+            # layout directly — no head split/merge transposes at all.
+            mode = cfg.importance if need_scores else None
+            out, scores = fused_qkv_attention(
+                qkv, h, mode, cfg.num_extra_tokens
+            )
+        else:
+            qkv_r = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv_r[0], qkv_r[1], qkv_r[2]
+            out, scores = attention_with_scores(
+                q, k, v,
+                num_extra_tokens=cfg.num_extra_tokens,
+                importance=cfg.importance,
+                token_mask=token_mask,
+                need_scores=need_scores,
+                impl="xla",
+            )
+            # attn_drop (models_vit.py:93) intentionally omitted from the
+            # score path: attn_drop_rate == 0.0 in every reference config.
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(c, dtype=_dtype(cfg), name="proj",
                        kernel_init=_trunc02)(out)
         out = nn.Dropout(cfg.drop_rate)(out, deterministic=deterministic)

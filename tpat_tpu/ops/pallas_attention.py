@@ -1,29 +1,34 @@
-"""Fused TPU attention kernel (Pallas) with pruning-score emission.
+"""Fused TPU attention kernels (Pallas) with pruning-score emission.
 
-Why: at ViT scale (N = 257..513 tokens) the XLA attention path materializes
-the (B, H, N, N) float32 probability tensor in HBM several times per block
-(~1.4 GB/block at B=128, N=257) — the measured bottleneck of the forward
-pass.  N is small enough that one (query-block = whole sequence) tile fits
-VMEM, so this kernel computes logits -> masked softmax -> out entirely
-on-chip and additionally emits, per (batch, head), the column sums of the
-probability matrix over the query rows the importance reduction needs:
+Motivation (measured on the target chip, ViT-B N=257 B=128 bf16):
 
-- 'patch_mean' (AudioMAE, models_vit.py:113): sum over patch-query rows;
-  host-side wrapper divides by H * P and sums over heads.
-- 'cls' (AST, ast_models.py:124): the CLS query row.
+- the chip sustains ~151 TFLOP/s on dense-queued matmuls, but the XLA
+  attention path runs the model at ~66 TFLOP/s;
+- the gap is data movement: the (B, N, 3C) -> (3, B, H, N, D) qkv permute
+  and the output head-merge transpose materialize ~9 GB/batch, and softmax
+  materializes the (B, H, N, N) probability tensor in HBM.
 
-Grid layout: the (B, H) pairs are flattened and processed GROUP at a time
-per grid step — one (b, h) per step leaves the pipeline overhead-bound
-(measured 1536 tiny programs slower than XLA); grouping amortizes it while
-staying well under the VMEM budget (GROUP * (3*N*D + N^2) * 4B ~ 4 MB).
+``fused_qkv_attention`` therefore consumes the **packed qkv projection
+output directly** — layout (B, N, 3C) with C = H*D and rows [q | k | v],
+exactly what a single Dense(3C) emits (and what the reference's torch
+``qkv.weight`` layout maps to) — and writes output in (B, N, C), the
+layout the output projection wants.  No transposes exist anywhere in the
+attention block, and probabilities never leave VMEM.
 
-Sequence padding to the sublane multiple is handled with an in-kernel key
-mask, so no host-side repacking of N=257 to a 128-multiple is needed.
+Head pairs ride the 128-lane constraint: with D = 64, two heads occupy one
+128-lane block, so lane-blocked BlockSpecs slice q/k/v per head-pair
+straight out of the packed tensor (the same array is passed three times
+with different index maps — no copies).
 
-Training: exposed through ``jax.custom_vjp`` — forward runs this kernel,
-backward recomputes the probabilities in XLA (the standard flash-attention
-recompute trade).  The score output feeds ``top_k`` (integer indices) so
-its cotangent is normally zero, but the backward handles it exactly anyway.
+Importance scores (the pruning signal, emitted in the same pass):
+- 'patch_mean' (AudioMAE, models_vit.py:113): per-head column sums of the
+  probability matrix over patch-query rows; wrapper divides by H * P.
+- 'cls' (AST, ast_models.py:124): the CLS query row per head.
+
+Training: ``jax.custom_vjp`` — forward runs the kernel, backward
+recomputes probabilities in XLA (flash-attention recompute trade).  The
+score output feeds top_k (integer indices) so its cotangent is normally
+zero, but the backward handles it exactly anyway.
 """
 
 from __future__ import annotations
@@ -36,109 +41,119 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG_INF = -1e30
-_GROUP = 8  # (batch*head) slices per grid step
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+LANES = 128
 
 
 def _interpret() -> bool:
-    """Run the kernel in interpreter mode off-TPU (unit tests on CPU)."""
+    """Run kernels in interpreter mode off-TPU (unit tests on CPU)."""
     return jax.default_backend() != "tpu"
 
 
-def _attn_kernel(
-    q_ref, k_ref, v_ref, o_ref, colsum_ref, *, scale, n_valid, mode, extra,
-    group,
+def _batch_group(b: int, cap: int = 8) -> int:
+    for g in range(min(cap, b), 0, -1):
+        if b % g == 0:
+            return g
+    return 1
+
+
+def supports(num_heads: int, head_dim: int) -> bool:
+    return LANES % head_dim == 0 and (num_heads * head_dim) % LANES == 0
+
+
+def _qkv_kernel(
+    q_ref, k_ref, v_ref, o_ref, colsum_ref, *,
+    scale, mode, extra, head_dim, heads_per_block, group,
 ):
-    for g in range(group):
-        q = q_ref[g].astype(jnp.float32)
-        k = k_ref[g].astype(jnp.float32)
-        v = v_ref[g].astype(jnp.float32)
-
-        logits = (
-            jax.lax.dot_general(
-                q, k,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    n = q_ref.shape[1]
+    for b in range(group):
+        for hh in range(heads_per_block):
+            sl = slice(hh * head_dim, (hh + 1) * head_dim)
+            q = q_ref[b, :, sl].astype(jnp.float32)
+            k = k_ref[b, :, sl].astype(jnp.float32)
+            v = v_ref[b, :, sl].astype(jnp.float32)
+            logits = (
+                jax.lax.dot_general(
+                    q, k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
             )
-            * scale
-        )
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < n_valid, logits, _NEG_INF)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[b, :, sl] = jnp.dot(
+                p, v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
 
-        o_ref[g] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
-
-        if mode == "patch_mean":
-            row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
-            qmask = ((row >= extra) & (row < n_valid)).astype(jnp.float32)
-            colsum_ref[g] = jnp.sum(p * qmask, axis=0, keepdims=True)
-        elif mode == "cls":
-            colsum_ref[g] = p[0:1]
-        else:  # scores not needed; cheap write keeps one output signature
-            colsum_ref[g] = jnp.zeros((1, p.shape[1]), jnp.float32)
+            if mode == "patch_mean":
+                row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                qmask = (row >= extra).astype(jnp.float32)
+                colsum_ref[b, hh] = jnp.sum(p * qmask, axis=0, keepdims=True)
+            elif mode == "cls":
+                colsum_ref[b, hh] = p[0:1]
+            else:
+                colsum_ref[b, hh] = jnp.zeros((1, n), jnp.float32)
 
 
-def _fused_fwd_impl(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
+def _fused_qkv_impl(
+    qkv: jnp.ndarray,
+    num_heads: int,
     mode: Optional[str],
     num_extra_tokens: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    b, h, n, d = q.shape
-    n_pad = _round_up(n, 8)
-    bh = b * h
-    group = _GROUP if bh % _GROUP == 0 else 1
-    if n_pad != n:
-        pad = [(0, 0), (0, 0), (0, n_pad - n), (0, 0)]
-        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
-    qf, kf, vf = (t.reshape(bh, n_pad, d) for t in (q, k, v))
-
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    assert supports(num_heads, d), (num_heads, d)
+    hpb = LANES // d  # heads per 128-lane block
+    hb = c // LANES  # lane blocks per q/k/v section
+    g = _batch_group(b)
     scale = d ** -0.5
+
     kernel = functools.partial(
-        _attn_kernel,
+        _qkv_kernel,
         scale=scale,
-        n_valid=n,
         mode=mode,
         extra=num_extra_tokens,
-        group=group,
+        head_dim=d,
+        heads_per_block=hpb,
+        group=g,
     )
-    qkv_spec = pl.BlockSpec(
-        (group, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
+
+    def spec(section):
+        return pl.BlockSpec(
+            (g, n, LANES),
+            lambda i, j, s=section: (i, 0, s * hb + j),
+            memory_space=pltpu.VMEM,
+        )
+
     out, colsum = pl.pallas_call(
         kernel,
-        grid=(bh // group,),
-        in_specs=[qkv_spec, qkv_spec, qkv_spec],
+        grid=(b // g, hb),
+        in_specs=[spec(0), spec(1), spec(2)],
         out_specs=[
-            qkv_spec,
             pl.BlockSpec(
-                (group, 1, n_pad), lambda i: (i, 0, 0),
+                (g, n, LANES), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g, hpb, 1, n), lambda i, j: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, num_heads, 1, n), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * bh * n_pad * n_pad * d,
-            bytes_accessed=4 * bh * n_pad * d * 4,
-            transcendentals=bh * n_pad * n_pad,
+            flops=2 * 2 * b * num_heads * n * n * d,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
         ),
         interpret=_interpret(),
-    )(qf, kf, vf)
-    out = out.reshape(b, h, n_pad, d)[:, :, :n]
-    colsum = colsum.reshape(b, h, n_pad)[:, :, :n]
-    return out, colsum
+    )(qkv, qkv, qkv)
+    return out, colsum[:, :, 0, :]
 
 
 def _reduce_scores(
@@ -155,7 +170,83 @@ def _reduce_scores(
     raise ValueError(mode)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_qkv_attention(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    mode: Optional[str] = None,
+    num_extra_tokens: int = 1,
+):
+    """Packed-qkv fused attention.
+
+    qkv: (B, N, 3C) — the raw output of the qkv Dense projection, sections
+    [q | k | v], heads laid out contiguously inside each section.
+    Returns (out (B, N, C), scores (B, N - extra) | None).
+    """
+    out, colsum = _fused_qkv_impl(qkv, num_heads, mode, num_extra_tokens)
+    return out, _reduce_scores(colsum, mode, qkv.shape[1], num_extra_tokens)
+
+
+def _fwd(qkv, num_heads, mode, num_extra_tokens):
+    out, colsum = _fused_qkv_impl(qkv, num_heads, mode, num_extra_tokens)
+    scores = _reduce_scores(colsum, mode, qkv.shape[1], num_extra_tokens)
+    return (out, scores), (qkv,)
+
+
+def _split_heads(x, h):
+    b, n, c = x.shape
+    return x.reshape(b, n, h, c // h).transpose(0, 2, 1, 3)
+
+
+def _bwd(num_heads, mode, num_extra_tokens, residuals, cotangents):
+    """XLA recompute backward (materializes p once, f32)."""
+    (qkv,) = residuals
+    d_out, d_scores = cotangents
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    h = num_heads
+    d = c // h
+    e = num_extra_tokens
+    scale = d ** -0.5
+
+    qf = _split_heads(qkv[..., :c], h).astype(jnp.float32)
+    kf = _split_heads(qkv[..., c : 2 * c], h).astype(jnp.float32)
+    vf = _split_heads(qkv[..., 2 * c :], h).astype(jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+
+    d_out_h = _split_heads(d_out, h).astype(jnp.float32)
+    d_p = jnp.einsum("bhqd,bhkd->bhqk", d_out_h, vf)
+    if d_scores is not None and mode is not None:
+        ds = d_scores.astype(jnp.float32)  # (B, N - e)
+        if mode == "patch_mean":
+            contrib = ds[:, None, None, :] / (h * (n - e))
+            d_p = d_p.at[:, :, e:, e:].add(
+                jnp.broadcast_to(contrib, (b, h, n - e, n - e))
+            )
+        elif mode == "cls":
+            d_p = d_p.at[:, :, 0, e:].add(ds[:, None, :] / h)
+    d_logits = p * (d_p - jnp.sum(d_p * p, axis=-1, keepdims=True))
+    d_v = jnp.einsum("bhqk,bhqd->bhkd", p, d_out_h)
+    d_q = jnp.einsum("bhqk,bhkd->bhqd", d_logits, kf) * scale
+    d_k = jnp.einsum("bhqk,bhqd->bhkd", d_logits, qf) * scale
+
+    def merge(x):  # (B,H,N,D) -> (B,N,C)
+        return x.transpose(0, 2, 1, 3).reshape(b, n, c)
+
+    d_qkv = jnp.concatenate([merge(d_q), merge(d_k), merge(d_v)], axis=-1)
+    return (d_qkv.astype(qkv.dtype),)
+
+
+fused_qkv_attention.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Legacy per-(b,h) interface used when the packed layout doesn't apply
+# (odd head_dim).  Kept for API compatibility with tests.
+# ---------------------------------------------------------------------------
+
+
 def fused_attention_with_scores(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -163,46 +254,26 @@ def fused_attention_with_scores(
     mode: Optional[str] = None,
     num_extra_tokens: int = 1,
 ):
-    """out (B,H,N,D) and importance scores (B, N-extra) or None."""
-    out, colsum = _fused_fwd_impl(q, k, v, mode, num_extra_tokens)
-    return out, _reduce_scores(colsum, mode, q.shape[2], num_extra_tokens)
-
-
-def _fwd(q, k, v, mode, num_extra_tokens):
-    out, colsum = _fused_fwd_impl(q, k, v, mode, num_extra_tokens)
-    scores = _reduce_scores(colsum, mode, q.shape[2], num_extra_tokens)
-    return (out, scores), (q, k, v)
-
-
-def _bwd(mode, num_extra_tokens, residuals, cotangents):
-    """XLA recompute backward (materializes p once, f32)."""
-    q, k, v = residuals
-    d_out, d_scores = cotangents
+    """(B,H,N,D) q/k/v interface; packs into (B,N,3C) and calls the fused
+    kernel when supported, else falls back to XLA math."""
     b, h, n, d = q.shape
-    e = num_extra_tokens
-    scale = d ** -0.5
+    c = h * d
 
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
-    p = jax.nn.softmax(logits, axis=-1)
+    def merge(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, n, c)
 
-    d_p = jnp.einsum("bhqd,bhkd->bhqk", d_out.astype(jnp.float32), vf)
-    if d_scores is not None and mode is not None:
-        ds = d_scores.astype(jnp.float32)  # (B, N - e)
-        if mode == "patch_mean":
-            contrib = ds[:, None, None, :] / (h * (n - e))  # (B,1,1,K)
-            d_p = d_p.at[:, :, e:, e:].add(
-                jnp.broadcast_to(contrib, (b, h, n - e, n - e))
-            )
-        elif mode == "cls":
-            d_p = d_p.at[:, :, 0, e:].add(ds[:, None, :] / h)
-    d_logits = p * (d_p - jnp.sum(d_p * p, axis=-1, keepdims=True))
-    d_v = jnp.einsum("bhqk,bhqd->bhkd", p, d_out.astype(jnp.float32))
-    d_q = jnp.einsum("bhqk,bhkd->bhqd", d_logits, kf) * scale
-    d_k = jnp.einsum("bhqk,bhqd->bhkd", d_logits, qf) * scale
-    return d_q.astype(q.dtype), d_k.astype(k.dtype), d_v.astype(v.dtype)
+    if supports(h, d):
+        qkv = jnp.concatenate([merge(q), merge(k), merge(v)], axis=-1)
+        out, scores = fused_qkv_attention(qkv, h, mode, num_extra_tokens)
+        return out.reshape(b, n, h, d).transpose(0, 2, 1, 3), scores
 
+    # XLA fallback (exact reference math)
+    from tpat_tpu.ops.attention import attention_with_scores
 
-fused_attention_with_scores.defvjp(_fwd, _bwd)
+    return attention_with_scores(
+        q, k, v,
+        num_extra_tokens=num_extra_tokens,
+        importance=mode or "patch_mean",
+        need_scores=mode is not None,
+        impl="xla",
+    )
