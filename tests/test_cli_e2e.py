@@ -1,0 +1,116 @@
+"""End-to-end CLI smokes on the virtual CPU mesh: the full finetune
+train→eval→extract→analyze loop and the AST driver, at tiny scale, through
+the real argparse entry points."""
+
+import json
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from tpat_tpu.data.wav import save_wav
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_corpus")
+    sr = 16000
+    rng = np.random.default_rng(0)
+    entries = {"tr": [], "ev": []}
+    for split, n in (("tr", 16), ("ev", 8)):
+        for i in range(n):
+            cls = i % 4
+            t = np.arange(sr) / sr  # 1 s -> 98 frames
+            wave = 0.4 * np.sin(2 * math.pi * (300 + 200 * cls) * t)
+            wave += 0.02 * rng.normal(size=sr)
+            path = str(root / f"{split}{i}.wav")
+            save_wav(path, wave.astype(np.float32), sr)
+            entries[split].append({"wav": path, "labels": f"/m/{cls:02d}"})
+    json.dump({"data": entries["tr"]}, open(root / "train.json", "w"))
+    json.dump({"data": entries["ev"]}, open(root / "eval.json", "w"))
+    with open(root / "labels.csv", "w") as f:
+        f.write("index,mid,display_name\n")
+        for c in range(4):
+            f.write(f'{c},/m/{c:02d},"tone {c}"\n')
+    return root
+
+
+def test_finetune_cli_full_loop(corpus, tmp_path):
+    from tpat_tpu.cli.finetune import get_args_parser, main
+
+    out = tmp_path / "out"
+    argv = [
+        "--dataset", "esc50", "--model", "audiomae_vit_tiny",
+        "--target_length", "128",
+        "--data_train", str(corpus / "train.json"),
+        "--data_eval", str(corpus / "eval.json"),
+        "--label_csv", str(corpus / "labels.csv"),
+        "--nb_classes", "4", "--batch_size", "8", "--epochs", "3",
+        "--blr", "2e-3", "--warmup_epochs", "1",
+        "--base_keep_rate", "0.6", "--drop_loc", "(1, 3)",
+        "--shrink_start_epoch", "1", "--shrink_epochs", "1",
+        "--freqm", "4", "--timem", "8", "--drop_path", "0.1",
+        "--output_dir", str(out),
+        "--result_path", str(tmp_path / "result.txt"),
+        "--num_workers", "2",
+    ]
+    main(get_args_parser().parse_args(argv))
+    assert (out / "args.yaml").exists()
+    assert (out / "log.txt").exists()
+    logs = [json.loads(l) for l in open(out / "log.txt")]
+    assert [l["train_phase"] for l in logs] == ["dense", "anneal", "static"]
+    markers = [p for p in os.listdir(out) if p.startswith("best-")]
+    assert len(markers) == 1
+    assert (out / "best_model").exists()
+    assert float(open(tmp_path / "result.txt").read()) >= 0
+
+    # eval + extraction on the trained model
+    feats = tmp_path / "feats"
+    argv_eval = argv[: argv.index("--output_dir")] + [
+        "--output_dir", str(out),
+        "--eval", "--finetuned_model_path", str(out / "best_model"),
+        "--flag_extract_features", "true",
+        "--extract_features_path", str(feats),
+        "--result_path", str(tmp_path / "eval_result.txt"),
+    ]
+    main(get_args_parser().parse_args(argv_eval))
+    files = os.listdir(feats)
+    assert any(f.startswith("mel.") for f in files)
+    assert any(f.startswith("block-1.topk_idx.") for f in files)
+
+    # analysis over the extraction
+    from tpat_tpu.analysis.extract_stats import kendall_rank
+
+    taus, info = kendall_rank(str(feats), None, "mean", num_blocks=12)
+    assert len(taus) == 6 and all(-1 <= t <= 1 for t in taus)
+
+
+def test_run_ast_cli(corpus, tmp_path):
+    from tpat_tpu.cli.run_ast import get_parser, main
+
+    exp = tmp_path / "exp"
+    argv = [
+        "--dataset", "esc50", "--model_size", "tiny_debug",
+        "--data-train", str(corpus / "train.json"),
+        "--data-val", str(corpus / "eval.json"),
+        "--label-csv", str(corpus / "labels.csv"),
+        "--n_class", "4", "-b", "8", "--n-epochs", "2",
+        "--audio_length", "128", "--metrics", "acc", "--loss", "CE",
+        "--lr", "1e-4", "--warmup", "True",
+        "--lrscheduler_start", "5", "--drop_loc", "(1, 3)",
+        "--exp-dir", str(exp), "-w", "2",
+    ]
+    score = main(get_parser().parse_args(argv))
+    assert 0.0 <= score <= 1.0
+    assert (exp / "result.csv").exists()
+    assert (exp / "best_result.csv").exists()
+    assert (exp / "progress.pkl").exists()
+    assert (exp / "models" / "best_audio_model").exists()
+
+    # eval path reads the saved best model
+    argv_eval = argv + ["--eval"]
+    score2 = main(get_parser().parse_args(argv_eval))
+    assert abs(score2 - score) < 1e-6
+    assert (exp / "eval_result.csv").exists()

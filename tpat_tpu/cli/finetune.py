@@ -79,6 +79,8 @@ def get_args_parser():
     p.add_argument("--mask_t_prob", type=float, default=0.0)
     p.add_argument("--mask_f_prob", type=float, default=0.0)
     p.add_argument("--num_workers", default=4, type=int)
+    p.add_argument("--target_length", type=int, default=None,
+                   help="override the preset target length (testing)")
     # run control
     p.add_argument("--output_dir", default="./output_dir")
     p.add_argument("--ramdisk_dir", default="")
@@ -134,6 +136,7 @@ def build_everything(args):
     preset = cfg_lib.DATASET_PRESETS[args.dataset]
     data_cfg = dataclasses.replace(
         preset,
+        target_length=args.target_length or preset.target_length,
         num_classes=args.nb_classes,
         freqm=args.freqm if args.freqm is not None else preset.freqm,
         timem=args.timem if args.timem is not None else preset.timem,

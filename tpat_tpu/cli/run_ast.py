@@ -222,6 +222,11 @@ def main(args):
     scratch = os.path.join(args.ramdisk_dir or args.exp_dir, "models")
     keeper = BestCheckpointKeeper(scratch, os.path.join(args.exp_dir, "models"))
 
+    import pickle
+    import time as _time
+
+    progress = []  # progress.pkl bookkeeping (traintest.py:72-76)
+    start_time = _time.time()
     result = np.zeros([args.n_epochs, 4])
     for epoch in range(1, args.n_epochs + 1):
         loader_train.set_epoch(epoch)
@@ -247,6 +252,12 @@ def main(args):
         np.savetxt(os.path.join(args.exp_dir, "result.csv"), result, delimiter=",")
         if epoch >= args.first_eval_epoch:
             keeper.update(score, state, epoch)
+        progress.append(
+            [epoch, epoch * len(loader_train), keeper.best_epoch,
+             keeper.best_score, _time.time() - start_time]
+        )
+        with open(os.path.join(args.exp_dir, "progress.pkl"), "wb") as f:
+            pickle.dump(progress, f)
 
     keeper.finalize()
     best_dir = os.path.join(args.exp_dir, "models", "best_model")
@@ -259,6 +270,34 @@ def main(args):
         [keeper.best_epoch, keeper.best_score],
         delimiter=",",
     )
+
+    # speechcommands: evaluate the best-on-validation model on the held-out
+    # test set and write eval_result.csv = [val_acc, val_auc, eval_acc,
+    # eval_auc] (run.py:230-255)
+    if args.dataset == "speechcommands" and args.data_eval:
+        best = os.path.join(args.exp_dir, "models", "best_audio_model")
+        params = restore_checkpoint(best)["params"]
+        ds_eval = AudiosetDataset(
+            args.data_eval, data_cfg, args.label_csv, train=False
+        )
+        loader_eval = DataLoader(
+            ds_eval, args.batch_size, shuffle=False,
+            num_workers=args.num_workers,
+        )
+        val_stats = eval_lib.evaluate_classification(
+            model, params, ast_batches(loader_val), args.batch_size, mesh
+        )
+        eval_stats = eval_lib.evaluate_classification(
+            model, params, ast_batches(loader_eval), args.batch_size, mesh
+        )
+        np.savetxt(
+            os.path.join(args.exp_dir, "eval_result.csv"),
+            [val_stats["acc1"] / 100.0, 0.0, eval_stats["acc1"] / 100.0, 0.0],
+        )
+        print(
+            f"valid acc {val_stats['acc1'] / 100:.6f}, "
+            f"test acc {eval_stats['acc1'] / 100:.6f}"
+        )
     return keeper.best_score
 
 
