@@ -1,0 +1,117 @@
+"""Round-trip torch export/import, remat gradient equality, config
+validation, and the distributed helpers (single-host no-op path)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpat_tpu.config import ViTConfig
+from tpat_tpu.models.vit import AudioViT
+from tpat_tpu.utils import torch_export as te
+from tpat_tpu.utils import torch_import as ti
+
+
+def base_cfg(**kw):
+    kw.setdefault("embed_dim", 64)
+    kw.setdefault("depth", 2)
+    kw.setdefault("num_heads", 2)
+    kw.setdefault("num_classes", 5)
+    kw.setdefault("target_length", 64)
+    kw.setdefault("num_mel_bins", 32)
+    kw.setdefault("drop_loc", (1,))
+    kw.setdefault("base_keep_rate", 0.7)
+    kw.setdefault("drop_path_rate", 0.0)
+    return ViTConfig(**kw)
+
+
+def _params(cfg):
+    return AudioViT(cfg).init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 1, cfg.target_length, cfg.num_mel_bins)),
+    )["params"]
+
+
+def test_audiomae_export_import_roundtrip(tmp_path, rng):
+    cfg = base_cfg()
+    params = _params(cfg)
+    path = str(tmp_path / "export.pth")
+    te.save_pth(path, params, flavor="audiomae", epoch=7)
+
+    sd = ti.load_torch_state_dict(path)
+    back = ti.audiomae_params_from_state_dict(
+        sd, cfg, ckpt_grid=(cfg.grid_f, cfg.grid_t)
+    )
+    merged = ti.overlay_params(params, back)
+    x = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    out_a = AudioViT(cfg).apply({"params": params}, x)
+    out_b = AudioViT(cfg).apply({"params": merged}, x)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-6)
+
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    assert raw["epoch"] == 7 and "model" in raw  # reference envelope
+
+
+def test_ast_export_import_roundtrip(tmp_path, rng):
+    cfg = base_cfg(
+        num_extra_tokens=2, importance="cls", pooling="cls_dist",
+        pos_embed_mode="post_cat", use_final_norm=True,
+        frozen_pos_embed=False,
+    )
+    params = _params(cfg)
+    path = str(tmp_path / "ast.pth")
+    te.save_pth(path, params, flavor="ast")
+    sd = ti.load_torch_state_dict(path)
+    assert any(k.startswith("v.") for k in sd)  # module. stripped -> v.*
+    back = ti.ast_params_from_state_dict(sd, cfg)
+    merged = ti.overlay_params(params, back)
+    x = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    out_a = AudioViT(cfg).apply({"params": params}, x)
+    out_b = AudioViT(cfg).apply({"params": merged}, x)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-6)
+
+
+def test_remat_matches_no_remat(rng):
+    cfg = base_cfg()
+    cfg_r = base_cfg(remat=True)
+    params = _params(cfg)
+    x = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    y = jnp.asarray(np.eye(5, dtype=np.float32)[[1, 3]])
+
+    def loss(model):
+        def f(p):
+            logits = model.apply(
+                {"params": p}, x, deterministic=True
+            )
+            return -jnp.mean(jnp.sum(y * jax.nn.log_softmax(logits), -1))
+
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(AudioViT(cfg)))(params)
+    l1, g1 = jax.value_and_grad(loss(AudioViT(cfg_r)))(params)
+    assert abs(float(l0) - float(l1)) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="drop_loc"):
+        base_cfg(drop_loc=(5,))
+    with pytest.raises(ValueError, match="num_heads"):
+        base_cfg(embed_dim=65)
+    with pytest.raises(ValueError, match="base_keep_rate"):
+        base_cfg(base_keep_rate=0.0)
+    with pytest.raises(ValueError, match="patch_size"):
+        base_cfg(target_length=65)
+
+
+def test_distributed_single_host():
+    from tpat_tpu.parallel import distributed as dist
+
+    rank, world = dist.init_distributed_mode()
+    assert rank == 0 and world == 1
+    assert dist.is_main_process()

@@ -68,6 +68,9 @@ class ViTConfig:
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
+    # Rematerialize block activations in the backward pass (trades FLOPs
+    # for HBM; useful for large batches / long targets on-chip).
+    remat: bool = False
 
     # Pruning: per-block default keep-rates baked from (drop_loc,
     # base_keep_rate) exactly like models_vit.py:283-293.
@@ -81,6 +84,28 @@ class ViTConfig:
     # materialization of the probability matrix; falls back to 'xla'
     # whenever a token mask is active, i.e. in the masked anneal phase).
     attention_impl: str = "fused"
+
+    def __post_init__(self):
+        if self.embed_dim % self.num_heads:
+            raise ValueError(
+                f"embed_dim {self.embed_dim} not divisible by num_heads "
+                f"{self.num_heads}"
+            )
+        for loc in self.drop_loc:
+            if not 0 <= loc < self.depth:
+                raise ValueError(
+                    f"drop_loc {self.drop_loc} out of range for depth "
+                    f"{self.depth}"
+                )
+        if not 0.0 < self.base_keep_rate <= 1.0:
+            raise ValueError(
+                f"base_keep_rate must be in (0, 1], got {self.base_keep_rate}"
+            )
+        if self.target_length % self.patch_size or self.num_mel_bins % self.patch_size:
+            raise ValueError(
+                "target_length and num_mel_bins must be multiples of "
+                f"patch_size={self.patch_size}"
+            )
 
     # ---- derived helpers -------------------------------------------------
 

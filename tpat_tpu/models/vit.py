@@ -179,14 +179,27 @@ class Block(nn.Module):
     def __call__(
         self,
         x: Array,
-        *,
         keep_rate: float = 1.0,
         custom_rank: Optional[Array] = None,
         extract_features: bool = False,
         deterministic: bool = True,
     ):
         """Static-shape path.  keep_rate is a Python float; when < 1 the
-        output sequence physically shrinks.
+        output sequence physically shrinks.  (Positional signature so
+        nn.remat static_argnums can address the static flags.)"""
+        return self._call_impl(
+            x, keep_rate, custom_rank, extract_features, deterministic
+        )
+
+    def _call_impl(
+        self,
+        x: Array,
+        keep_rate: float,
+        custom_rank: Optional[Array],
+        extract_features: bool,
+        deterministic: bool,
+    ):
+        """Static-shape path body.
 
         Returns (x, aux) with aux possibly holding 'scores', 'topk_idx'.
         """
@@ -324,8 +337,15 @@ class AudioViT(nn.Module):
             self.pos_embed = self.param("pos_embed", _trunc02, (1, n_pos, d))
 
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        block_cls = Block
+        if cfg.remat:
+            # checkpoint each block's activations (static args: keep_rate,
+            # extract_features, deterministic at __call__ indices 2, 4, 5)
+            block_cls = nn.remat(Block, static_argnums=(2, 4, 5))
         self.blocks = [
-            Block(cfg, block_id=i, drop_path_rate=float(dpr[i]), name=f"blocks_{i}")
+            block_cls(
+                cfg, block_id=i, drop_path_rate=float(dpr[i]), name=f"blocks_{i}"
+            )
             for i in range(cfg.depth)
         ]
 
@@ -462,11 +482,7 @@ class AudioViT(nn.Module):
 
         for i, blk in enumerate(self.blocks):
             tokens, aux = blk(
-                tokens,
-                keep_rate=keep_rates[i],
-                custom_rank=rank,
-                extract_features=extract_features,
-                deterministic=deterministic,
+                tokens, keep_rates[i], rank, extract_features, deterministic
             )
             if rank is not None and "topk_idx" in aux:
                 rank = pruning.gather_scores(rank, aux["topk_idx"])
