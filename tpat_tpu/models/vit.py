@@ -116,9 +116,6 @@ class PrunedAttention(nn.Module):
         if (
             cfg.attention_impl == "fused"
             and token_mask is None
-            and deterministic  # training uses XLA: its native autodiff
-            # (p stored as residual) beats the kernel's recompute backward
-            # by ~11% measured; a fused backward kernel would change this
             and fused_supports(h, dh)
         ):
             # Packed fast path: the fused kernel consumes the Dense output

@@ -187,6 +187,127 @@ def fused_qkv_attention(
     return out, _reduce_scores(colsum, mode, qkv.shape[1], num_extra_tokens)
 
 
+def _qkv_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, ds_ref, dq_ref, dk_ref, dv_ref, *,
+    scale, mode, extra, head_dim, heads_per_block, group,
+):
+    """Fused backward: recompute p per head in VMEM, emit dq/dk/dv in the
+    packed layout.  ds_ref carries the (zero-padded-to-N) score cotangent,
+    already scaled by 1/(H*P) ('patch_mean') or 1/H ('cls')."""
+    n = q_ref.shape[1]
+    for b in range(group):
+        for hh in range(heads_per_block):
+            sl = slice(hh * head_dim, (hh + 1) * head_dim)
+            q = q_ref[b, :, sl].astype(jnp.float32)
+            k = k_ref[b, :, sl].astype(jnp.float32)
+            v = v_ref[b, :, sl].astype(jnp.float32)
+            do = do_ref[b, :, sl].astype(jnp.float32)
+
+            logits = (
+                jax.lax.dot_general(
+                    q, k,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+            dp = jax.lax.dot_general(
+                do, v,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if mode is not None:
+                ds = ds_ref[b, 0].astype(jnp.float32)  # (N,), pre-scaled
+                row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                if mode == "patch_mean":
+                    rmask = (row >= extra).astype(jnp.float32)
+                else:  # 'cls'
+                    rmask = (row == 0).astype(jnp.float32)
+                dp = dp + rmask * ds[None, :]
+
+            dlog = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq_ref[b, :, sl] = (
+                jnp.dot(dlog, k, preferred_element_type=jnp.float32) * scale
+            ).astype(dq_ref.dtype)
+            dk_ref[b, :, sl] = (
+                jax.lax.dot_general(
+                    dlog, q,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            ).astype(dk_ref.dtype)
+            dv_ref[b, :, sl] = jax.lax.dot_general(
+                p, do,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+
+
+def _fused_qkv_bwd_impl(qkv, d_out, d_scores, num_heads, mode, num_extra_tokens):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    hpb = LANES // d
+    hb = c // LANES
+    g = _batch_group(b)
+    e = num_extra_tokens
+
+    # Pre-scale + zero-pad the score cotangent to (B, 1, N).
+    if mode is not None and d_scores is not None:
+        denom = num_heads * (n - e) if mode == "patch_mean" else num_heads
+        ds = (d_scores.astype(jnp.float32) / denom)
+        ds = jnp.pad(ds, ((0, 0), (e, 0)))[:, None, :]  # (B, 1, N)
+        eff_mode = mode
+    else:
+        ds = jnp.zeros((b, 1, n), jnp.float32)
+        eff_mode = None
+
+    kernel = functools.partial(
+        _qkv_bwd_kernel,
+        scale=d ** -0.5,
+        mode=eff_mode,
+        extra=e,
+        head_dim=d,
+        heads_per_block=hpb,
+        group=g,
+    )
+
+    def spec(section):
+        return pl.BlockSpec(
+            (g, n, LANES),
+            lambda i, j, s=section: (i, 0, s * hb + j),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_spec = pl.BlockSpec(
+        (g, n, LANES), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b // g, hb),
+        in_specs=[
+            spec(0), spec(1), spec(2),
+            out_spec,  # d_out
+            pl.BlockSpec((g, 1, n), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c), qkv.dtype)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * num_heads * n * n * d,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv, d_out, ds)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
 def _fwd(qkv, num_heads, mode, num_extra_tokens):
     out, colsum = _fused_qkv_impl(qkv, num_heads, mode, num_extra_tokens)
     scores = _reduce_scores(colsum, mode, qkv.shape[1], num_extra_tokens)
@@ -199,9 +320,17 @@ def _split_heads(x, h):
 
 
 def _bwd(num_heads, mode, num_extra_tokens, residuals, cotangents):
-    """XLA recompute backward (materializes p once, f32)."""
+    """Fused Pallas recompute backward; XLA fallback below kept for
+    reference/debug (set TPAT_XLA_ATTENTION_BWD=1)."""
+    import os
+
     (qkv,) = residuals
     d_out, d_scores = cotangents
+    if os.environ.get("TPAT_XLA_ATTENTION_BWD") != "1":
+        d_qkv = _fused_qkv_bwd_impl(
+            qkv, d_out, d_scores, num_heads, mode, num_extra_tokens
+        )
+        return (d_qkv,)
     b, n, c3 = qkv.shape
     c = c3 // 3
     h = num_heads
