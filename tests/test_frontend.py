@@ -1,0 +1,59 @@
+"""On-device frontend vs the host dataset pipeline (eval mode must be
+numerically equivalent; train mode shapes + masking bounds)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpat_tpu.ops import fbank as fb
+from tpat_tpu.ops.frontend import FrontendConfig, device_frontend
+
+
+@pytest.fixture(scope="module")
+def waves(rng=None):
+    g = np.random.default_rng(0)
+    return np.clip(g.normal(size=(3, 16000)) * 0.2, -1, 1).astype(np.float32)
+
+
+def host_pipeline(wave, cfg: FrontendConfig):
+    mel = fb.fbank_numpy(wave, cfg.fbank_cfg)
+    mel = fb.pad_or_crop(mel, cfg.target_length)
+    return fb.normalize(mel, cfg.norm_mean, cfg.norm_std)
+
+
+def test_device_matches_host_eval(waves):
+    cfg = FrontendConfig(target_length=128, norm_mean=-6.0, norm_std=5.0)
+    out = np.asarray(
+        jax.jit(lambda w: device_frontend(w, cfg))(jnp.asarray(waves))
+    )
+    assert out.shape == (3, 1, 128, 128)
+    for b in range(3):
+        want = host_pipeline(waves[b], cfg)
+        np.testing.assert_allclose(out[b, 0], want, rtol=1e-3, atol=2e-3)
+
+
+def test_device_crop(waves):
+    cfg = FrontendConfig(target_length=64, norm_mean=-6.0, norm_std=5.0)
+    out = np.asarray(device_frontend(jnp.asarray(waves), cfg))
+    assert out.shape == (3, 1, 64, 128)
+
+
+def test_device_train_augs(waves):
+    cfg = FrontendConfig(
+        target_length=128, norm_mean=-6.0, norm_std=5.0,
+        freqm=24, timem=48, noise=True,
+    )
+    fn = jax.jit(
+        lambda w, r: device_frontend(w, cfg, rng=r, train=True)
+    )
+    out1 = np.asarray(fn(jnp.asarray(waves), jax.random.PRNGKey(0)))
+    out2 = np.asarray(fn(jnp.asarray(waves), jax.random.PRNGKey(1)))
+    assert out1.shape == (3, 1, 128, 128)
+    assert not np.allclose(out1, out2)  # augmentation varies with rng
+    # SpecAug zero-fill before normalization -> masked cells equal
+    # normalize(0) exactly; count cells at that value in out1's mel rows
+    masked_value = (0.0 - cfg.norm_mean) / (2 * cfg.norm_std)
+    frac = np.isclose(out1, masked_value).mean()
+    assert frac < 0.6  # masks are bands, not everything

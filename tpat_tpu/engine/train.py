@@ -239,8 +239,15 @@ class TrainModule:
         mask_prob = cfg.mask_t_prob if phase == "dense" else 0.0
         step_fn = self.compiled_step(phase, mask_prob)
 
+        from tpat_tpu.utils.logging import MetricLogger, SmoothedValue
+
+        logger = MetricLogger(print_fn=log_fn)
+        logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
         losses = []
         it = epoch * self.iters_per_epoch
+        batches = logger.log_every(
+            batches, log_every, header=f"Epoch: [{epoch}]"
+        ) if log_every else batches
         for i, (x, y) in enumerate(batches):
             if self.mesh is not None:
                 x, y = mesh_lib.shard_batch(self.mesh, (x, y))
@@ -271,11 +278,11 @@ class TrainModule:
                     "training (engine_finetune.py:108-110 semantics)"
                 )
             losses.append(loss)
-            if log_every and (i % log_every == 0):
-                log_fn(
-                    f"Epoch [{epoch}] iter {i}/{self.iters_per_epoch} "
-                    f"phase={phase} loss={loss:.4f} "
-                    f"lr={float(metrics['lr']):.2e}"
+            if log_every:
+                logger.update(
+                    loss=loss,
+                    lr=float(metrics["lr"]),
+                    grad_norm=float(metrics["grad_norm"]),
                 )
         return state, {
             "loss": float(np.mean(losses)) if losses else float("nan"),

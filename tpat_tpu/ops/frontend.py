@@ -1,0 +1,106 @@
+"""On-device audio frontend: batched waveform -> model-ready spectrogram
+inside jit.
+
+The reference computes fbank per-clip on CPU workers (torchaudio native
+kernels); here the whole frontend — framing, window, rFFT, mel matmul
+(MXU), pad-with-min, SpecAug, normalization, noise — can run batched on
+the TPU, fused into the training step's graph, removing the host fbank
+from the input-pipeline critical path.
+
+Pipeline order matches the reference dataset exactly
+(``/root/reference/audiomae/dataset.py:209-301``): fbank -> pad/crop to
+target_length (fill = per-utterance min) -> SpecAug (zero fill, BEFORE
+normalization) -> (x - mean) / (2 std) -> optional noise + time roll.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpat_tpu.ops import fbank as fb
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    sample_rate: int = 16000
+    num_mel_bins: int = 128
+    target_length: int = 512
+    norm_mean: float = -6.6268077
+    norm_std: float = 5.358466
+    freqm: int = 0
+    timem: int = 0
+    noise: bool = False
+
+    @property
+    def fbank_cfg(self) -> fb.FbankConfig:
+        return fb.FbankConfig(
+            sample_rate=self.sample_rate, num_mel_bins=self.num_mel_bins
+        )
+
+
+def _spec_masking_device(mel, freqm, timem, rng):
+    """SpecAug with traced widths/starts (static shapes): width ~ U[0,
+    param), start ~ U[0, size - width); zero fill."""
+    b, t, f = mel.shape
+    r1, r2, r3, r4 = jax.random.split(rng, 4)
+
+    def band_mask(size, param, rw, rs, batch):
+        width = jax.random.uniform(rw, (batch,)) * param
+        start = jax.random.uniform(rs, (batch,)) * (size - width)
+        idx = jnp.arange(size, dtype=jnp.float32)[None, :]
+        inside = (idx >= start[:, None]) & (idx < (start + width)[:, None])
+        return ~inside  # True where kept
+
+    if freqm > 0:
+        keep_f = band_mask(f, float(freqm), r1, r2, b)  # (B, F)
+        mel = mel * keep_f[:, None, :]
+    if timem > 0:
+        keep_t = band_mask(t, float(timem), r3, r4, b)  # (B, T)
+        mel = mel * keep_t[:, :, None]
+    return mel
+
+
+def device_frontend(
+    waveforms: jnp.ndarray,
+    cfg: FrontendConfig,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+) -> jnp.ndarray:
+    """(B, num_samples) float32 -> (B, 1, target_length, num_mel_bins).
+
+    jit-able with static shapes; ``train=True`` enables SpecAug/noise
+    (requires ``rng``).
+    """
+    mel = fb.fbank_jax(waveforms, cfg.fbank_cfg)  # (B, frames, bins)
+    b, n_frames, bins = mel.shape
+
+    # pad with the per-utterance min / crop to target_length
+    t = cfg.target_length
+    if n_frames < t:
+        fill = jnp.min(mel, axis=(1, 2), keepdims=True)
+        pad = jnp.broadcast_to(fill, (b, t - n_frames, bins))
+        mel = jnp.concatenate([mel, pad], axis=1)
+    elif n_frames > t:
+        mel = mel[:, :t]
+
+    if train and (cfg.freqm or cfg.timem):
+        assert rng is not None
+        rng, sub = jax.random.split(rng)
+        mel = _spec_masking_device(mel, cfg.freqm, cfg.timem, sub)
+
+    mel = fb.normalize(mel, cfg.norm_mean, cfg.norm_std)
+
+    if train and cfg.noise:
+        assert rng is not None
+        r1, r2, r3 = jax.random.split(rng, 3)
+        mel = mel + jax.random.uniform(r1, mel.shape) * (
+            jax.random.uniform(r2, ()) / 10.0
+        )
+        shift = jax.random.randint(r3, (), -10, 10)
+        mel = jnp.roll(mel, shift, axis=1)
+
+    return mel[:, None, :, :]
