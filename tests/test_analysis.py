@@ -145,3 +145,41 @@ def test_reducers(tmp_path):
     json.dump({"ESC-50": list(np.linspace(0, 1, 12))}, open(j, "w"))
     out = reducers.draw_kendall_graph(str(j))
     assert os.path.exists(out)
+
+
+def test_pos_embed_interpolation():
+    """Bicubic pos-embed adapters (util/pos_embed.py:93-137 equivalents)."""
+    from tpat_tpu.models import pos_embed as pe
+
+    d = 16
+    # square: 4x4 -> 6x6, extras preserved
+    pos = np.random.default_rng(0).normal(size=(1, 1 + 16, d)).astype(np.float32)
+    out = pe.interpolate_square_pos_embed(pos, 6, num_extra_tokens=1)
+    assert out.shape == (1, 1 + 36, d)
+    np.testing.assert_array_equal(out[:, 0], pos[:, 0])
+    # identity when size matches
+    same = pe.interpolate_square_pos_embed(pos, 4, num_extra_tokens=1)
+    np.testing.assert_array_equal(same, pos)
+
+    # img2audio: (4, 4) -> (2, 8)
+    out = pe.interpolate_img2audio_pos_embed(pos, (4, 4), (2, 8))
+    assert out.shape == (1, 1 + 16, d)
+
+    # rgb->1ch patch-embed sum
+    k = np.random.default_rng(1).normal(size=(16, 16, 3, 8)).astype(np.float32)
+    summed = pe.sum_rgb_patch_embed(k)
+    assert summed.shape == (16, 16, 1, 8)
+    np.testing.assert_allclose(summed[..., 0, :], k.sum(axis=2), rtol=1e-6)
+
+
+def test_sincos_grid_matches_reference_layout():
+    """sincos_2d row-major (h outer), h in first half of channels
+    (util/pos_embed.py:38-64)."""
+    from tpat_tpu.models import pos_embed as pe
+
+    emb = pe.sincos_2d(8, (3, 2))
+    assert emb.shape == (6, 8)
+    # reference quirk (pos_embed.py:28 'w goes first'): the FIRST channel
+    # half encodes w, the second half encodes h
+    np.testing.assert_allclose(emb[0, 4:], emb[1, 4:], atol=1e-7)  # same h
+    np.testing.assert_allclose(emb[0, :4], emb[2, :4], atol=1e-7)  # same w

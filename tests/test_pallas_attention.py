@@ -110,3 +110,19 @@ def test_fallback_path_small_heads(rng):
     )
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x), rtol=1e-6)
+
+
+def test_batch_group_vmem_budget():
+    """Group selection must shrink for f32 / long sequences so kernel VMEM
+    stays under the scoped limit (regression: ViT-B f32 training OOM'd at
+    16.15M/16M with group 8)."""
+    from tpat_tpu.ops.pallas_attention import _batch_group
+
+    # bf16, N=257: full group
+    assert _batch_group(128, 257, 2, n_io_blocks=4) == 8
+    assert _batch_group(64, 257, 2, n_io_blocks=7) == 8
+    # f32 backward at N=257 must drop below 8
+    assert _batch_group(16, 257, 4, n_io_blocks=7) <= 4
+    # f32, N=513 (AudioSet length): fwd <= 4, bwd <= 2
+    assert _batch_group(128, 513, 4, n_io_blocks=4) <= 4
+    assert _batch_group(128, 513, 4, n_io_blocks=7) <= 2

@@ -49,9 +49,18 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _batch_group(b: int, cap: int = 8) -> int:
+def _batch_group(
+    b: int, n: int, itemsize: int, n_io_blocks: int, cap: int = 8
+) -> int:
+    """Largest divisor of b whose VMEM footprint fits: io blocks are
+    double-buffered (g, n, 128) tiles, plus ~2 f32 (n, n) scratch tiles
+    for the probability matrices.  Budget 12 MB of the ~16 MB/core."""
+    budget = 12 * 1024 * 1024 - 2 * n * n * 4
     for g in range(min(cap, b), 0, -1):
-        if b % g == 0:
+        if b % g != 0:
+            continue
+        io_bytes = n_io_blocks * g * n * LANES * itemsize * 2
+        if io_bytes <= budget:
             return g
     return 1
 
@@ -108,7 +117,7 @@ def _fused_qkv_impl(
     assert supports(num_heads, d), (num_heads, d)
     hpb = LANES // d  # heads per 128-lane block
     hb = c // LANES  # lane blocks per q/k/v section
-    g = _batch_group(b)
+    g = _batch_group(b, n, qkv.dtype.itemsize, n_io_blocks=4)
     scale = d ** -0.5
 
     kernel = functools.partial(
@@ -254,7 +263,7 @@ def _fused_qkv_bwd_impl(qkv, d_out, d_scores, num_heads, mode, num_extra_tokens)
     d = c // num_heads
     hpb = LANES // d
     hb = c // LANES
-    g = _batch_group(b)
+    g = _batch_group(b, n, qkv.dtype.itemsize, n_io_blocks=7)
     e = num_extra_tokens
 
     # Pre-scale + zero-pad the score cotangent to (B, 1, N).
