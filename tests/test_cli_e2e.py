@@ -114,3 +114,36 @@ def test_run_ast_cli(corpus, tmp_path):
     score2 = main(get_parser().parse_args(argv_eval))
     assert abs(score2 - score) < 1e-6
     assert (exp / "eval_result.csv").exists()
+
+
+def test_finetune_cli_device_frontend(corpus, tmp_path):
+    """--device_frontend: raw waveforms from the loader, fbank + SpecAug +
+    normalization fused into the compiled step on-device."""
+    from tpat_tpu.cli.finetune import get_args_parser, main
+
+    out = tmp_path / "out_wf"
+    argv = [
+        "--dataset", "esc50", "--model", "audiomae_vit_tiny",
+        "--target_length", "96", "--device_frontend", "true",
+        "--data_train", str(corpus / "train.json"),
+        "--data_eval", str(corpus / "eval.json"),
+        "--label_csv", str(corpus / "labels.csv"),
+        "--nb_classes", "4", "--batch_size", "8", "--epochs", "2",
+        "--blr", "2e-3", "--warmup_epochs", "1",
+        "--base_keep_rate", "0.6", "--drop_loc", "(1, 3)",
+        "--shrink_start_epoch", "1", "--shrink_epochs", "1",
+        "--freqm", "4", "--timem", "8",
+        "--output_dir", str(out),
+        "--result_path", str(tmp_path / "wf_result.txt"),
+        "--num_workers", "2",
+    ]
+    main(get_args_parser().parse_args(argv))
+    assert (out / "best_model").exists()
+    # eval through the device frontend as well
+    argv_eval = argv[: argv.index("--output_dir")] + [
+        "--output_dir", str(out),
+        "--eval", "--finetuned_model_path", str(out / "best_model"),
+        "--result_path", str(tmp_path / "wf_eval.txt"),
+    ]
+    main(get_args_parser().parse_args(argv_eval))
+    assert float(open(tmp_path / "wf_eval.txt").read()) >= 0

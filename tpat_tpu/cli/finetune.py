@@ -81,6 +81,10 @@ def get_args_parser():
     p.add_argument("--num_workers", default=4, type=int)
     p.add_argument("--target_length", type=int, default=None,
                    help="override the preset target length (testing)")
+    p.add_argument("--device_frontend", type=str2bool, default=False,
+                   help="datasets emit raw waveforms; fbank + SpecAug + "
+                        "normalization run batched on the TPU inside the "
+                        "compiled step (ops/frontend.py)")
     # run control
     p.add_argument("--output_dir", default="./output_dir")
     p.add_argument("--ramdisk_dir", default="")
@@ -91,6 +95,8 @@ def get_args_parser():
     p.add_argument("--dist_eval", action="store_true", default=False)
     p.add_argument("--first_eval_ep", default=0, type=int)
     p.add_argument("--result_path", type=str, default=None)
+    p.add_argument("--save_every_epochs", type=int, default=0,
+                   help="periodic crash-resume checkpoint (0 = off)")
     # feature extraction
     p.add_argument("--flag_extract_features", type=str2bool, default=False)
     p.add_argument("--extract_features_path", type=str, default=None)
@@ -155,7 +161,9 @@ def build_everything(args):
     )
     model = AudioViT(model_cfg)
 
+    wf = bool(args.device_frontend)
     if args.dataset == "voxceleb1":
+        assert not wf, "--device_frontend supports manifest datasets only"
         ds_train = VoxCeleb1Dataset(
             args.voxceleb1_root, "train", data_cfg, lr_pad=True, seed=args.seed
         )
@@ -165,12 +173,14 @@ def build_everything(args):
             AudiosetDataset(
                 args.data_train, data_cfg, args.label_csv, train=True,
                 roll_mag_aug=args.roll_mag_aug, seed=args.seed,
+                return_waveform=wf,
             )
             if args.data_train
             else None
         )
         ds_val = AudiosetDataset(
-            args.data_eval, data_cfg, args.label_csv, train=False
+            args.data_eval, data_cfg, args.label_csv, train=False,
+            return_waveform=wf,
         )
 
     loader_train = (
@@ -206,6 +216,31 @@ def build_everything(args):
         mask_f_prob=args.mask_f_prob,
         first_eval_ep=args.first_eval_ep,
     )
+    preprocess = None
+    if wf:
+        from tpat_tpu.ops.frontend import FrontendConfig, device_frontend
+
+        fc_train = FrontendConfig(
+            num_mel_bins=data_cfg.num_mel_bins,
+            target_length=data_cfg.target_length,
+            norm_mean=data_cfg.norm_mean,
+            norm_std=data_cfg.norm_std,
+            freqm=data_cfg.freqm,
+            timem=data_cfg.timem,
+            noise=data_cfg.use_noise,
+        )
+        fc_eval = dataclasses.replace(
+            fc_train, freqm=0, timem=0, noise=False
+        )
+
+        def preprocess(x, rng, specaug, train):
+            cfg = fc_train if (train and specaug) else (
+                dataclasses.replace(fc_train, freqm=0, timem=0)
+                if train
+                else fc_eval
+            )
+            return device_frontend(x, cfg, rng=rng, train=train)
+
     mesh = mesh_lib.make_mesh()
     module = TrainModule(
         model=model,
@@ -215,6 +250,7 @@ def build_everything(args):
         iters_per_epoch=len(loader_train) if loader_train else 1,
         mesh=mesh,
         custom_rank=args.custom_rank,
+        preprocess=preprocess,
     )
     return model, model_cfg, data_cfg, module, loader_train, loader_val
 
@@ -278,7 +314,7 @@ def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
     if args.dataset == "audioset":
         stats = eval_lib.evaluate_multilabel(
             model, params, batches, args.batch_size, module.mesh,
-            feature_writer=writer,
+            feature_writer=writer, preprocess=module.preprocess,
         )
         metric = "mAP"
     else:
@@ -286,6 +322,7 @@ def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
             model, params, batches, args.batch_size, module.mesh,
             feature_writer=writer, index_to_name=index_to_name,
             custom_rank=args.custom_rank, intensity_band=intensity_band,
+            preprocess=module.preprocess,
         )
         metric = "acc1"
     print(f"{metric}: {stats[metric]:.4f}")
@@ -356,11 +393,13 @@ def main(args):
             ebatches = ((x, y) for x, y, _ in loader_val)
             if args.dataset == "audioset":
                 test_stats = eval_lib.evaluate_multilabel(
-                    model, state.params, ebatches, args.batch_size, module.mesh
+                    model, state.params, ebatches, args.batch_size,
+                    module.mesh, preprocess=module.preprocess,
                 )
             else:
                 test_stats = eval_lib.evaluate_classification(
-                    model, state.params, ebatches, args.batch_size, module.mesh
+                    model, state.params, ebatches, args.batch_size,
+                    module.mesh, preprocess=module.preprocess,
                 )
         else:
             test_stats = {metric: -1.0}
@@ -370,6 +409,10 @@ def main(args):
             f"train_loss={train_stats['loss']:.4f} {metric}={score:.4f}"
         )
         keeper.update(score, state, epoch)
+        if args.save_every_epochs and (epoch + 1) % args.save_every_epochs == 0:
+            from tpat_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(str(out / "last_checkpoint"), state, epoch)
 
         log = {
             **{f"train_{k}": v for k, v in train_stats.items()},

@@ -57,10 +57,21 @@ class AudiosetDataset:
         train: bool = True,
         roll_mag_aug: bool = False,
         seed: int = 0,
+        return_waveform: bool = False,
+        num_samples: Optional[int] = None,
     ):
         with open(manifest_json) as f:
             self.data: List[dict] = json.load(f)["data"]
         self.cfg = data_cfg
+        # waveform mode: emit fixed-length raw audio; fbank + SpecAug +
+        # normalization then run batched ON DEVICE (ops/frontend.py) —
+        # the north-star fused preprocessing path.
+        self.return_waveform = return_waveform
+        if return_waveform and num_samples is None:
+            # frames -> samples for the snip-edges framing: covering
+            # target_length frames needs (target-1)*shift + window samples
+            num_samples = (data_cfg.target_length - 1) * 160 + 400
+        self.num_samples = num_samples
         self.train = train
         self.index_dict = make_index_dict(label_csv)
         self.label_num = len(self.index_dict)
@@ -99,11 +110,46 @@ class AudiosetDataset:
         mel = fb.pad_or_crop(mel, self.cfg.target_length)
         return mel, lam
 
+    def _fixed_waveform(self, path: str, path2: Optional[str] = None):
+        w1 = self._load_centered(path)
+        if path2 is not None:
+            w2 = self._load_centered(path2)
+            w1, lam = augment.mixup_waveforms(w1, w2, self.rng)
+        else:
+            lam = 0.0
+        wav = w1.reshape(-1)
+        n = self.num_samples
+        if len(wav) < n:
+            wav = np.pad(wav, (0, n - len(wav)))
+        else:
+            wav = wav[:n]
+        return wav.astype(np.float32), lam
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray, str]:
         datum = self.data[index]
         labels = np.zeros(self.label_num, dtype=np.float32)
-        if self.rng.random() < self.mixup:
-            partner = self.data[int(self.rng.integers(len(self.data)))]
+        do_mixup = self.rng.random() < self.mixup
+        partner = (
+            self.data[int(self.rng.integers(len(self.data)))]
+            if do_mixup
+            else None
+        )
+
+        if self.return_waveform:
+            wav, lam = self._fixed_waveform(
+                datum["wav"], partner["wav"] if partner else None
+            )
+            if partner is not None:
+                for s in datum["labels"].split(","):
+                    labels[self.index_dict[s.strip()]] += lam
+                for s in partner["labels"].split(","):
+                    labels[self.index_dict[s.strip()]] += 1.0 - lam
+            else:
+                for s in datum["labels"].split(","):
+                    labels[self.index_dict[s.strip()]] = 1.0
+            return wav, labels, datum["wav"]
+
+        if do_mixup:
             mel, lam = self._wav2fbank(datum["wav"], partner["wav"])
             for s in datum["labels"].split(","):
                 labels[self.index_dict[s.strip()]] += lam

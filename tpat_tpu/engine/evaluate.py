@@ -29,7 +29,13 @@ def make_eval_step(
     extract_features: bool = False,
     custom_rank=None,
     intensity_band=None,
+    preprocess=None,
 ):
+    def pre(x):
+        if preprocess is None:
+            return x
+        return preprocess(x, None, specaug=False, train=False)
+
     if intensity_band is not None:
         # intensity-band drop ablation (models_vit.py:353-385): masked path
         # with the band applied after the chosen block; returns
@@ -40,7 +46,7 @@ def make_eval_step(
         def fwd_band(params, x):
             return model.apply(
                 {"params": params},
-                x,
+                pre(x),
                 jnp.asarray(model.cfg.keep_rates, jnp.float32),
                 intensity_band=(jnp.float32(lo), jnp.float32(hi), blk),
                 method=AudioViT.forward_masked,
@@ -51,7 +57,7 @@ def make_eval_step(
     def fwd(params, x):
         return model.apply(
             {"params": params},
-            x,
+            pre(x),
             extract_features=extract_features,
             custom_rank=custom_rank,
         )
@@ -70,20 +76,20 @@ def _run_batches(
     band_mode: bool = False,
 ):
     all_logits, all_targets = [], []
-    for bidx, (x, y) in enumerate(batches):
-        n = x.shape[0]
-        if n < batch_size:  # pad to compiled shape, trim after
-            pad = batch_size - n
-            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
-        if mesh is not None:
-            x = mesh_lib.shard_batch(mesh, x)
-        out = eval_step(params, jnp.asarray(x))
+    pending = None  # (device_out, n, y, bidx): fetch one batch behind so
+    # device compute overlaps host transfers/feature writing
+
+    def drain(pending):
+        out, n, y, bidx = pending
+        _consume(out, n, y, bidx)
+
+    def _consume(out, n, y, bidx):
         if band_mode:
             logits, kept = out
             keepers = np.asarray(kept)[:n] > 0  # skip emptied samples
             all_logits.append(np.asarray(logits)[:n][keepers])
             all_targets.append(np.asarray(y)[keepers])
-            continue
+            return
         if feature_writer is not None:
             logits, features = out
             if index_to_name is not None:
@@ -101,6 +107,20 @@ def _run_batches(
             logits = out
         all_logits.append(np.asarray(logits)[:n])
         all_targets.append(np.asarray(y))
+
+    for bidx, (x, y) in enumerate(batches):
+        n = x.shape[0]
+        if n < batch_size:  # pad to compiled shape, trim after
+            pad = batch_size - n
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+        if mesh is not None:
+            x = mesh_lib.shard_batch(mesh, x)
+        out = eval_step(params, jnp.asarray(x))
+        if pending is not None:
+            drain(pending)
+        pending = (out, n, y, bidx)
+    if pending is not None:
+        drain(pending)
     return np.concatenate(all_logits), np.concatenate(all_targets)
 
 
@@ -114,12 +134,14 @@ def evaluate_classification(
     index_to_name=None,
     custom_rank=None,
     intensity_band=None,
+    preprocess=None,
 ) -> Dict[str, float]:
     """Single-label eval: acc1/acc5 + CE loss on argmax targets
     (engine_finetune.py:145-202)."""
     step = make_eval_step(
         model, mesh, extract_features=feature_writer is not None,
         custom_rank=custom_rank, intensity_band=intensity_band,
+        preprocess=preprocess,
     )
     logits, targets = _run_batches(
         step, params, batches, batch_size, mesh, feature_writer,
@@ -139,9 +161,13 @@ def evaluate_multilabel(
     batch_size: int,
     mesh=None,
     feature_writer=None,
+    preprocess=None,
 ) -> Dict[str, float]:
     """Multilabel mAP eval (engine_finetune.py:206-267)."""
-    step = make_eval_step(model, mesh, extract_features=feature_writer is not None)
+    step = make_eval_step(
+        model, mesh, extract_features=feature_writer is not None,
+        preprocess=preprocess,
+    )
     logits, targets = _run_batches(
         step, params, batches, batch_size, mesh, feature_writer
     )

@@ -85,6 +85,10 @@ class TrainModule:
     # custom-rank ablation (models_vit.py:341-351): replace attention
     # importance with per-patch mel mean/std; static phases only.
     custom_rank: Any = None
+    # Optional on-device preprocessing fused into the compiled step:
+    # fn(x, rng, specaug: bool, train: bool) -> model input.  Used by the
+    # --device_frontend path (waveform -> spectrogram on the TPU).
+    preprocess: Any = None
 
     def __post_init__(self):
         if self.train_cfg.optimizer == "ast_adam":
@@ -147,10 +151,16 @@ class TrainModule:
         loss_fn = LOSS_FNS[self.loss_type]
 
         def step(state: TrainState, x, y, keep_rates=None):
-            rng, r0, r1, r2 = jax.random.split(
-                jax.random.fold_in(state.rng, state.step), 4
+            rng, r0, r1, r2, r3 = jax.random.split(
+                jax.random.fold_in(state.rng, state.step), 5
             )
             rngs = {"dropout": r0, "droppath": r1, "mask2d": r2}
+            if self.preprocess is not None:
+                # SpecAug only while dense (augs are disabled once shrink
+                # starts, main_finetune.py:518-522); noise stays on.
+                x = self.preprocess(
+                    x, r3, specaug=(phase == "dense"), train=True
+                )
 
             def compute_loss(params):
                 logits = self._forward(
