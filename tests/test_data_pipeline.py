@@ -134,3 +134,20 @@ def test_loader_batching(corpus):
     assert x.shape == (2, 1, 64, 128) and y.shape == (2, 5) and len(ids) == 2
     dl2 = DataLoader(ds, batch_size=2, num_workers=2, drop_last=False)
     assert len(list(dl2)) == 3
+
+
+def test_weighted_shard_sampler():
+    from tpat_tpu.data.sampler import WeightedShardSampler
+
+    weights = np.array([100.0] * 2 + [1.0] * 18)  # heavily favor items 0-1
+    s = WeightedShardSampler(weights, shuffle=True, seed=0)
+    s.set_epoch(0)
+    idx = list(s)
+    assert len(idx) == 20
+    # favored items dominate the draw
+    favored = sum(1 for i in idx if i < 2)
+    assert favored > 10
+    # deterministic per epoch, varies across epochs
+    assert idx == list(s)
+    s.set_epoch(1)
+    assert idx != list(s)

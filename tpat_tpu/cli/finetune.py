@@ -115,6 +115,9 @@ def get_args_parser():
 
 def args_checker(args):
     """main_finetune.py:220-233."""
+    assert args.mean_pooling, (
+        "mean_pooling must be True (models_vit.py:307 asserts it)"
+    )
     if not args.eval:
         assert not args.flag_extract_features, (
             "extract_features is only supported during evaluation"

@@ -41,7 +41,6 @@ def make_eval_step(
         # with the band applied after the chosen block; returns
         # (logits, kept_counts) so callers skip empty samples.
         lo, hi, blk = intensity_band
-        depth = model.cfg.depth
 
         def fwd_band(params, x):
             return model.apply(

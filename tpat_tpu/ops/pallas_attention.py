@@ -77,9 +77,11 @@ def _qkv_kernel(
     for b in range(group):
         for hh in range(heads_per_block):
             sl = slice(hh * head_dim, (hh + 1) * head_dim)
-            q = q_ref[b, :, sl].astype(jnp.float32)
-            k = k_ref[b, :, sl].astype(jnp.float32)
-            v = v_ref[b, :, sl].astype(jnp.float32)
+            # keep matmul operands in the input dtype (bf16 runs the MXU
+            # at full rate with f32 accumulation); softmax math in f32
+            q = q_ref[b, :, sl]
+            k = k_ref[b, :, sl]
+            v = v_ref[b, :, sl]
             logits = (
                 jax.lax.dot_general(
                     q, k,
@@ -92,7 +94,7 @@ def _qkv_kernel(
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             o_ref[b, :, sl] = jnp.dot(
-                p, v, preferred_element_type=jnp.float32
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
             ).astype(o_ref.dtype)
 
             if mode == "patch_mean":
@@ -207,10 +209,10 @@ def _qkv_bwd_kernel(
     for b in range(group):
         for hh in range(heads_per_block):
             sl = slice(hh * head_dim, (hh + 1) * head_dim)
-            q = q_ref[b, :, sl].astype(jnp.float32)
-            k = k_ref[b, :, sl].astype(jnp.float32)
-            v = v_ref[b, :, sl].astype(jnp.float32)
-            do = do_ref[b, :, sl].astype(jnp.float32)
+            q = q_ref[b, :, sl]
+            k = k_ref[b, :, sl]
+            v = v_ref[b, :, sl]
+            do = do_ref[b, :, sl]
 
             logits = (
                 jax.lax.dot_general(
@@ -238,7 +240,9 @@ def _qkv_bwd_kernel(
                     rmask = (row == 0).astype(jnp.float32)
                 dp = dp + rmask * ds[None, :]
 
-            dlog = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dlog = (
+                p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ).astype(q.dtype)
             dq_ref[b, :, sl] = (
                 jnp.dot(dlog, k, preferred_element_type=jnp.float32) * scale
             ).astype(dq_ref.dtype)
@@ -251,7 +255,7 @@ def _qkv_bwd_kernel(
                 * scale
             ).astype(dk_ref.dtype)
             dv_ref[b, :, sl] = jax.lax.dot_general(
-                p, do,
+                p.astype(do.dtype), do,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(dv_ref.dtype)
