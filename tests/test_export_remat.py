@@ -115,3 +115,71 @@ def test_distributed_single_host():
     rank, world = dist.init_distributed_mode()
     assert rank == 0 and world == 1
     assert dist.is_main_process()
+
+
+def test_audioset_pretrained_geometry_import(tmp_path, rng):
+    """The published AudioMAE checkpoint geometry: ViT-B keys with a
+    (1, 513, 768) pos-embed over the (8, 64) AudioSet grid plus pretrain
+    leftovers (decoder_*, mask_token, norm) — import for ESC-50 must crop
+    the time axis to (8, 32) -> 257 rows, drop the mismatched head, ignore
+    extras, and produce a working forward."""
+    import torch
+
+    d = 768
+    g = torch.Generator().manual_seed(0)
+    sd = {
+        "cls_token": torch.randn(1, 1, d, generator=g) * 0.02,
+        "pos_embed": torch.randn(1, 513, d, generator=g) * 0.02,
+        "patch_embed.proj.weight": torch.randn(d, 1, 16, 16, generator=g) * 0.02,
+        "patch_embed.proj.bias": torch.zeros(d),
+        # pretrain leftovers that strict=False ignores (main_finetune.py:414)
+        "norm.weight": torch.ones(d),
+        "norm.bias": torch.zeros(d),
+        "mask_token": torch.zeros(1, 1, 512),
+        "decoder_embed.weight": torch.zeros(512, d),
+        # mismatched 527-class head must be dropped for 50 classes
+        "head.weight": torch.zeros(527, d),
+        "head.bias": torch.zeros(527),
+    }
+    for i in range(12):
+        p = f"blocks.{i}"
+        sd[f"{p}.norm1.weight"] = torch.ones(d)
+        sd[f"{p}.norm1.bias"] = torch.zeros(d)
+        sd[f"{p}.attn.qkv.weight"] = torch.randn(3 * d, d, generator=g) * 0.02
+        sd[f"{p}.attn.qkv.bias"] = torch.zeros(3 * d)
+        sd[f"{p}.attn.proj.weight"] = torch.randn(d, d, generator=g) * 0.02
+        sd[f"{p}.attn.proj.bias"] = torch.zeros(d)
+        sd[f"{p}.norm2.weight"] = torch.ones(d)
+        sd[f"{p}.norm2.bias"] = torch.zeros(d)
+        sd[f"{p}.mlp.fc1.weight"] = torch.randn(4 * d, d, generator=g) * 0.02
+        sd[f"{p}.mlp.fc1.bias"] = torch.zeros(4 * d)
+        sd[f"{p}.mlp.fc2.weight"] = torch.randn(d, 4 * d, generator=g) * 0.02
+        sd[f"{p}.mlp.fc2.bias"] = torch.zeros(d)
+    path = str(tmp_path / "pretrained.pth")
+    torch.save({"model": sd}, path)
+
+    from tpat_tpu.config import audiomae_vit_base
+    from tpat_tpu.models.vit import AudioViT
+
+    cfg = audiomae_vit_base(
+        target_length=512, num_classes=50, base_keep_rate=0.5,
+        drop_loc=(3, 6, 9), drop_path_rate=0.0,
+    )
+    loaded = ti.load_torch_state_dict(path)
+    imported = ti.audiomae_params_from_state_dict(loaded, cfg)
+    assert imported["pos_embed"].shape == (1, 257, 768)
+    assert "head" not in imported  # 527-class head dropped
+    # the crop takes the first 32 time columns of each of the 8 freq rows
+    ref_pos = sd["pos_embed"].numpy()
+    grid = ref_pos[:, 1:].reshape(1, 8, 64, 768)[:, :, :32]
+    np.testing.assert_array_equal(
+        imported["pos_embed"][:, 1:], grid.reshape(1, 256, 768)
+    )
+
+    model = AudioViT(cfg)
+    x0 = jnp.zeros((1, 1, 512, 128))
+    params = ti.overlay_params(
+        model.init({"params": jax.random.PRNGKey(0)}, x0)["params"], imported
+    )
+    logits = model.apply({"params": params}, x0)
+    assert logits.shape == (1, 50) and np.isfinite(np.asarray(logits)).all()

@@ -82,7 +82,12 @@ class AudiosetDataset:
         self.timem = data_cfg.timem if train else 0
         self.mixup = data_cfg.mixup if train else 0.0
         self.noise = data_cfg.use_noise and train
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0  # set by the loader each epoch
+        self.rng = np.random.default_rng(seed)  # non-threaded fallback
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
 
     def __len__(self):
         return len(self.data)
@@ -126,6 +131,9 @@ class AudiosetDataset:
         return wav.astype(np.float32), lam
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray, str]:
+        # per-(seed, epoch, index) generator: thread-safe under the
+        # threaded loader, deterministic, fresh randomness each epoch
+        self.rng = np.random.default_rng((self.seed, self.epoch, index))
         datum = self.data[index]
         labels = np.zeros(self.label_num, dtype=np.float32)
         do_mixup = self.rng.random() < self.mixup
@@ -194,6 +202,8 @@ class VoxCeleb1Dataset:
         self.timem = data_cfg.timem if self.train else 0
         self.noise = data_cfg.use_noise and self.train
         self.roll_mag = data_cfg.roll_mag_aug and self.train
+        self.seed = seed
+        self.epoch = 0
         self.rng = np.random.default_rng(seed)
 
         split_file = os.path.join(root, "iden_split.txt")
@@ -216,7 +226,11 @@ class VoxCeleb1Dataset:
     def __len__(self):
         return len(self.files)
 
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
     def __getitem__(self, index: int):
+        self.rng = np.random.default_rng((self.seed, self.epoch, index))
         rel = self.files[index]
         spk = int(rel.split("/")[0][2:]) - 10000  # id10001 -> 1
         label = np.zeros(self.total_classes, dtype=np.float32)

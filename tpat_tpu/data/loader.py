@@ -47,6 +47,8 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.sampler.set_epoch(epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         n = len(self.sampler)

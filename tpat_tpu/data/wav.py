@@ -24,8 +24,8 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
 
         if native.available():
             return native.load_wav(path)
-    except ImportError:
-        pass
+    except Exception:
+        pass  # unsupported format or decode error -> python fallback
     return load_wav_python(path)
 
 
