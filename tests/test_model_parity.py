@@ -169,3 +169,33 @@ def test_masked_path_traced_keep_rates_no_recompile():
     out2 = step(jnp.asarray([1.0, 0.55, 0.71, 1.0]))
     assert out1.shape == out2.shape == (2, 10)
     assert step._cache_size() == 1
+
+
+def test_overlapping_patch_embed_matches_torch():
+    """PatchEmbed_new stride-10 overlapping variant
+    (util/patch_embed.py:6-92)."""
+    from tpat_tpu.config import ViTConfig
+    from tpat_tpu.models.vit import PatchEmbed
+
+    cfg = ViTConfig(
+        embed_dim=32, depth=1, num_heads=2, target_length=64,
+        num_mel_bins=32, patch_size=16, patch_stride=10, drop_loc=(),
+    )
+    assert cfg.grid_t == (64 - 16) // 10 + 1 == 5
+    assert cfg.grid_f == (32 - 16) // 10 + 1 == 2
+    x = np.random.default_rng(0).normal(size=(2, 1, 64, 32)).astype(np.float32)
+    pe = PatchEmbed(cfg)
+    params = pe.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    out = np.asarray(pe.apply({"params": params}, jnp.asarray(x)))
+    assert out.shape == (2, 10, 32)
+
+    conv = torch.nn.Conv2d(1, 32, kernel_size=16, stride=10)
+    with torch.no_grad():
+        conv.weight.copy_(
+            torch.from_numpy(
+                np.asarray(params["proj"]["kernel"]).transpose(3, 2, 0, 1)
+            )
+        )
+        conv.bias.copy_(torch.from_numpy(np.asarray(params["proj"]["bias"])))
+        want = conv(torch.from_numpy(x)).flatten(2).transpose(1, 2).numpy()
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)

@@ -361,6 +361,18 @@ def main(args):
     with open(out / "args.yaml", "w") as f:
         yaml.dump(vars(args), f)
 
+    tb = None
+    try:  # TensorBoard scalars like the reference (main_finetune.py:311-319)
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_dir = out / "tb_log"
+        if tb_dir.exists():
+            print(f"!! path {tb_dir} exists, stop training")
+            raise SystemExit(1)
+        tb = SummaryWriter(str(tb_dir))
+    except ImportError:
+        pass
+
     state = module.load(params, seed=args.seed)
     if args.resume:
         from tpat_tpu.utils.checkpoint import restore_checkpoint
@@ -424,6 +436,14 @@ def main(args):
         }
         with open(out / "log.txt", "a") as f:
             f.write(json.dumps(log) + "\n")
+        if tb is not None:
+            for k, v in train_stats.items():
+                if isinstance(v, (int, float)):
+                    tb.add_scalar(f"train/{k}", v, epoch)
+            for k, v in test_stats.items():
+                if isinstance(v, (int, float)):
+                    tb.add_scalar(f"test/{k}", v, epoch)
+            tb.flush()
 
     keeper.finalize()
     print(f"training time {time.time() - start:.1f}s, "

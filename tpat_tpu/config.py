@@ -49,6 +49,10 @@ class ViTConfig:
     qkv_bias: bool = True
     layer_norm_eps: float = 1e-6
     patch_size: int = 16
+    # Patch stride; < patch_size gives overlapping patches
+    # (util/patch_embed.py PatchEmbed_new, stride-10 variant — unused by
+    # the reference finetune path but part of its API surface).
+    patch_stride: int = 0  # 0 -> patch_size (non-overlapping)
     in_chans: int = 1
     num_classes: int = 527
 
@@ -110,12 +114,20 @@ class ViTConfig:
     # ---- derived helpers -------------------------------------------------
 
     @property
+    def stride(self) -> int:
+        return self.patch_stride or self.patch_size
+
+    @property
     def grid_t(self) -> int:
-        return self.target_length // self.patch_size
+        if self.stride == self.patch_size:
+            return self.target_length // self.patch_size
+        return (self.target_length - self.patch_size) // self.stride + 1
 
     @property
     def grid_f(self) -> int:
-        return self.num_mel_bins // self.patch_size
+        if self.stride == self.patch_size:
+            return self.num_mel_bins // self.patch_size
+        return (self.num_mel_bins - self.patch_size) // self.stride + 1
 
     @property
     def num_patches(self) -> int:

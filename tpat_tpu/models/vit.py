@@ -277,7 +277,7 @@ class PatchEmbed(nn.Module):
         x = nn.Conv(
             cfg.embed_dim,
             kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.stride, cfg.stride),
             padding="VALID",
             dtype=_dtype(cfg),
             name="proj",
