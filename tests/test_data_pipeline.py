@@ -151,3 +151,54 @@ def test_weighted_shard_sampler():
     assert idx == list(s)
     s.set_epoch(1)
     assert idx != list(s)
+
+
+@pytest.fixture(scope="module")
+def voxceleb_tree(tmp_path_factory):
+    """Synthetic VoxCeleb1 layout: root/wav/id100xx/clip/utt.wav +
+    iden_split.txt (1=train, 3=test)."""
+    root = tmp_path_factory.mktemp("vox")
+    sr = 16000
+    rng = np.random.default_rng(0)
+    lines = []
+    for s, spk in enumerate(["id10001", "id10002", "id10003"]):
+        for u in range(3):
+            rel = f"{spk}/clipA/{u:05d}.wav"
+            p = root / "wav" / spk / "clipA"
+            p.mkdir(parents=True, exist_ok=True)
+            wave = 0.3 * np.sin(
+                2 * math.pi * (200 + 100 * s) * np.arange(sr) / sr
+            ) + 0.01 * rng.normal(size=sr)
+            save_wav(str(root / "wav" / rel), wave.astype(np.float32), sr)
+            split = 1 if u < 2 else 3  # 2 train, 1 test per speaker
+            lines.append(f"{split} {rel}")
+    (root / "iden_split.txt").write_text("\n".join(lines) + "\n")
+    return str(root)
+
+
+def test_voxceleb_dataset(voxceleb_tree):
+    from tpat_tpu.data.datasets import VoxCeleb1Dataset
+
+    cfg = DataConfig(
+        name="voxceleb1", num_classes=3, target_length=128,
+        norm_mean=-6.37, norm_std=3.074, multilabel=False,
+        use_noise=False, loss_type="ce",
+    )
+    train = VoxCeleb1Dataset(voxceleb_tree, "train", cfg, lr_pad=True)
+    test = VoxCeleb1Dataset(voxceleb_tree, "test", cfg)
+    assert len(train) == 6 and len(test) == 3
+    assert train.total_classes == 3
+
+    x, y, rel = test[0]
+    assert x.shape == (1, 128, 128)
+    # id10001 -> speaker 1 -> one-hot index 0
+    np.testing.assert_array_equal(y, [1, 0, 0])
+    assert rel.startswith("id10001/")
+    # deterministic eval
+    x2, _, _ = test[0]
+    np.testing.assert_array_equal(x, x2)
+    # train with lr_pad: padding may land left or right but content rows
+    # must match the unpadded fbank somewhere
+    xt, yt, _ = train[0]
+    assert xt.shape == (1, 128, 128)
+    assert yt.sum() == 1.0

@@ -83,6 +83,11 @@ class ViTConfig:
 
     # Compute policy (TPU): bfloat16 matmuls, float32 softmax/accumulation.
     compute_dtype: str = "float32"
+    # Pallas LayerNorm kernel for the block norms: measured SLOWER in
+    # context on the target chip (XLA fuses its LN with the surrounding
+    # residual adds; splitting it out costs more than it saves) — kept as
+    # an opt-in capability for other hardware.
+    use_fused_layernorm: bool = False
     # Attention implementation: 'xla' (einsum+softmax, reference math) or
     # 'fused' (Pallas kernel, ops/pallas_attention.py — no HBM
     # materialization of the probability matrix; falls back to 'xla'
