@@ -100,6 +100,7 @@ def test_run_ast_cli(corpus, tmp_path):
         "--audio_length", "128", "--metrics", "acc", "--loss", "CE",
         "--lr", "1e-4", "--warmup", "True",
         "--lrscheduler_start", "5", "--drop_loc", "(1, 3)",
+        "--base_keep_rate", "0.6",
         "--exp-dir", str(exp), "-w", "2",
     ]
     score = main(get_parser().parse_args(argv))
@@ -109,11 +110,20 @@ def test_run_ast_cli(corpus, tmp_path):
     assert (exp / "progress.pkl").exists()
     assert (exp / "models" / "best_audio_model").exists()
 
-    # eval path reads the saved best model
-    argv_eval = argv + ["--eval"]
+    # eval path reads the saved best model, with feature extraction
+    # (the reference's AST extraction branch is broken upstream —
+    # ast_models.py:140 syntax error; it works here)
+    feats = tmp_path / "ast_feats"
+    argv_eval = argv + [
+        "--eval", "--flag_extract_features", "true",
+        "--extract_features_path", str(feats),
+    ]
     score2 = main(get_parser().parse_args(argv_eval))
     assert abs(score2 - score) < 1e-6
     assert (exp / "eval_result.csv").exists()
+    files = os.listdir(feats)
+    assert any(f.startswith("mel.") for f in files)
+    assert any(f.startswith("block-1.topk_idx.") for f in files)
 
 
 def test_finetune_cli_device_frontend(corpus, tmp_path):
