@@ -157,3 +157,40 @@ def test_finetune_cli_device_frontend(corpus, tmp_path):
     ]
     main(get_args_parser().parse_args(argv_eval))
     assert float(open(tmp_path / "wf_eval.txt").read()) >= 0
+
+
+def test_finetune_cli_resume(corpus, tmp_path):
+    """--save_every_epochs + --resume: crash-resume continues from the
+    saved epoch and completes."""
+    import jax.numpy as jnp
+
+    from tpat_tpu.cli.finetune import get_args_parser, main
+
+    out = tmp_path / "out_resume"
+    base = [
+        "--dataset", "esc50", "--model", "audiomae_vit_tiny",
+        "--target_length", "96",
+        "--data_train", str(corpus / "train.json"),
+        "--data_eval", str(corpus / "eval.json"),
+        "--label_csv", str(corpus / "labels.csv"),
+        "--nb_classes", "4", "--batch_size", "8",
+        "--blr", "1e-3", "--warmup_epochs", "1", "--drop_loc", "(1, 3)",
+        "--output_dir", str(out), "--num_workers", "2",
+        "--save_every_epochs", "1",
+    ]
+    main(get_args_parser().parse_args(base + ["--epochs", "2"]))
+    assert (out / "last_checkpoint").exists()
+    logs_before = open(out / "log.txt").read().count("\n")
+    assert logs_before == 2
+
+    # resume for 2 more epochs (total 4); start_epoch comes from the ckpt
+    main(
+        get_args_parser().parse_args(
+            base + ["--epochs", "4", "--resume", str(out / "last_checkpoint")]
+        )
+    )
+    logs = [l for l in open(out / "log.txt").read().splitlines() if l]
+    import json as _json
+
+    epochs = [_json.loads(l)["epoch"] for l in logs]
+    assert epochs == [0, 1, 2, 3]  # resumed at 2, no repeats

@@ -366,7 +366,9 @@ def main(args):
         from torch.utils.tensorboard import SummaryWriter
 
         tb_dir = out / "tb_log"
-        if tb_dir.exists():
+        if tb_dir.exists() and not args.resume:
+            # refuse to clobber an existing run (main_finetune.py:313-316);
+            # resume appends to the same log
             print(f"!! path {tb_dir} exists, stop training")
             raise SystemExit(1)
         tb = SummaryWriter(str(tb_dir))
@@ -375,9 +377,19 @@ def main(args):
 
     state = module.load(params, seed=args.seed)
     if args.resume:
+        import numpy as _np
+
         from tpat_tpu.utils.checkpoint import restore_checkpoint
 
-        restored = restore_checkpoint(args.resume)
+        # restore INTO the live state's structure so optax NamedTuple
+        # states survive the round-trip
+        template = {
+            "params": jax.tree_util.tree_map(_np.asarray, state.params),
+            "opt_state": jax.tree_util.tree_map(_np.asarray, state.opt_state),
+            "step": 0,
+            "epoch": 0,
+        }
+        restored = restore_checkpoint(args.resume, template)
         state = state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
             opt_state=jax.tree_util.tree_map(
