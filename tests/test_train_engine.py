@@ -198,3 +198,35 @@ def test_checkpoint_roundtrip(tmp_path):
         rtol=1e-6,
     )
     assert restored["epoch"] == 2
+
+
+def test_evaluate_multilabel_with_extraction(tmp_path):
+    """AudioSet-style mAP eval with feature extraction (the reference's
+    evaluate_audioset extraction path, engine_finetune.py:233-256)."""
+    from tpat_tpu.utils.features import FeatureWriter, combine_feature_dict
+
+    cfg = tiny_cfg(base_keep_rate=0.6)
+    model = AudioViT(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 1, cfg.target_length, cfg.num_mel_bins)),
+    )["params"]
+    rng = np.random.default_rng(0)
+    batches = [
+        (
+            rng.normal(size=(4, 1, cfg.target_length, cfg.num_mel_bins)).astype(
+                np.float32
+            ),
+            (rng.uniform(size=(4, cfg.num_classes)) < 0.3).astype(np.float32),
+        )
+        for _ in range(2)
+    ]
+    writer = FeatureWriter(str(tmp_path))
+    stats = eval_lib.evaluate_multilabel(
+        model, params, batches, batch_size=4, feature_writer=writer
+    )
+    assert 0.0 <= stats["mAP"] <= 1.0
+    mel = combine_feature_dict(str(tmp_path), "mel")
+    assert mel.shape[0] == 8
+    assert combine_feature_dict(str(tmp_path), "block-1.topk_idx") is not None
+    assert combine_feature_dict(str(tmp_path), "labels") == ["temp"] * 8
