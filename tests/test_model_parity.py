@@ -199,3 +199,53 @@ def test_overlapping_patch_embed_matches_torch():
         conv.bias.copy_(torch.from_numpy(np.asarray(params["proj"]["bias"])))
         want = conv(torch.from_numpy(x)).flatten(2).transpose(1, 2).numpy()
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "depth,drop_loc,keep,extra,importance,pooling,final_norm",
+    [
+        (3, (0,), 0.4, 1, "patch_mean", "gap_fcnorm", False),
+        (4, (0, 1, 2, 3), 0.8, 1, "patch_mean", "gap_fcnorm", False),
+        (5, (2, 4), 0.55, 2, "cls", "cls_dist", True),
+        (2, (), 1.0, 1, "patch_mean", "gap_fcnorm", False),
+        (4, (1, 3), 0.3, 2, "cls", "cls_dist", True),
+    ],
+)
+def test_masked_static_equivalence_sweep(
+    depth, drop_loc, keep, extra, importance, pooling, final_norm
+):
+    """Property: across arbitrary (depth, drop_loc, keep-rate, family)
+    combinations, the masked path must reproduce the static physically
+    pruned logits."""
+    cfg = ViTConfig(
+        embed_dim=64,
+        depth=depth,
+        num_heads=2,
+        num_classes=6,
+        target_length=64,
+        num_mel_bins=32,
+        num_extra_tokens=extra,
+        importance=importance,
+        pooling=pooling,
+        pos_embed_mode="pre_cls" if extra == 1 else "post_cat",
+        use_final_norm=final_norm,
+        frozen_pos_embed=(extra == 1),
+        drop_path_rate=0.0,
+        drop_loc=drop_loc,
+        base_keep_rate=keep,
+        attention_impl="xla",
+    )
+    model = AudioViT(cfg)
+    rng = np.random.default_rng(depth * 100 + extra)
+    x = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    params = model.init({"params": jax.random.PRNGKey(1)}, x)["params"]
+    static = model.apply({"params": params}, x)
+    masked = model.apply(
+        {"params": params},
+        x,
+        jnp.asarray(cfg.keep_rates, dtype=jnp.float32),
+        method=AudioViT.forward_masked,
+    )
+    np.testing.assert_allclose(
+        np.asarray(masked), np.asarray(static), rtol=2e-3, atol=5e-4
+    )
