@@ -18,10 +18,13 @@ grafted into AudioMAE and AST audio transformers), built TPU-first:
 __version__ = "0.1.0"
 
 from tpat_tpu.config import (  # noqa: F401
-    ViTConfig,
+    DATASET_PRESETS,
     DataConfig,
     TrainConfig,
-    DATASET_PRESETS,
-    audiomae_vit_base,
+    ViTConfig,
     ast_vit_base,
+    audiomae_vit_base,
+    audiomae_vit_large,
+    audiomae_vit_small,
+    audiomae_vit_tiny,
 )
