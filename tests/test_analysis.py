@@ -183,3 +183,26 @@ def test_sincos_grid_matches_reference_layout():
     # half encodes w, the second half encodes h
     np.testing.assert_allclose(emb[0, 4:], emb[1, 4:], atol=1e-7)  # same h
     np.testing.assert_allclose(emb[0, :4], emb[2, :4], atol=1e-7)  # same w
+
+
+def test_average_csv_results(tmp_path):
+    """get_esc_result.py equivalent: average column 1 of best_result.csv
+    files across folds."""
+    for fold, acc in enumerate([0.90, 0.92, 0.94]):
+        d = tmp_path / f"fold-{fold}"
+        d.mkdir()
+        np.savetxt(d / "best_result.csv", [fold, acc], delimiter=",")
+    avg = reducers.average_csv_results(str(tmp_path))
+    assert abs(avg - 0.92) < 1e-9
+    outs = [p for p in os.listdir(tmp_path) if p.startswith("average_result_")]
+    assert len(outs) == 1
+
+
+def test_create_voxceleb_csv(tmp_path):
+    from tpat_tpu.data.create_voxceleb1_csv import write_voxceleb1_csv
+    from tpat_tpu.data.datasets import make_index_dict
+
+    path = write_voxceleb1_csv(str(tmp_path / "vox.csv"), num_speakers=5)
+    idx = make_index_dict(path)
+    assert len(idx) == 6  # ids 0..5 inclusive, like the reference's 1252
+    assert idx["/m/spk00003"] == 3
