@@ -130,3 +130,33 @@ def test_normalize():
     x = np.ones((2, 2), dtype=np.float32)
     got = fb.normalize(x, mean=-1.0, std=4.0)
     np.testing.assert_allclose(got, (1.0 + 1.0) / 8.0)
+
+
+def test_impulse_response_analytic(cfg):
+    """A unit impulse (after DC removal and pre-emphasis) has an exactly
+    computable power spectrum, so each mel energy must equal the analytic
+    dot product with the filter row — a golden check independent of any
+    FFT library."""
+    size = cfg.window_size
+    wave = np.zeros(cfg.window_size, dtype=np.float32)
+    pos = 100
+    wave[pos] = 1.0
+
+    # replicate the frame pipeline analytically in float64
+    frame = wave.astype(np.float64) - wave.mean()
+    pre = frame.copy()
+    pre[1:] = frame[1:] - 0.97 * frame[:-1]
+    pre[0] = frame[0] - 0.97 * frame[0]
+    n = np.arange(size)
+    window = 0.5 - 0.5 * np.cos(2 * math.pi * n / (size - 1))
+    sig = pre * window
+    nfft = cfg.padded_window_size
+    padded = np.zeros(nfft)
+    padded[:size] = sig
+    spec = np.abs(np.fft.rfft(padded)) ** 2
+    want = fb.mel_banks(cfg).astype(np.float64) @ spec
+    want = np.log(np.maximum(want, fb.EPSILON))
+
+    got = fb.fbank_numpy(wave, cfg)
+    assert got.shape == (1, cfg.num_mel_bins)
+    np.testing.assert_allclose(got[0], want, rtol=5e-4, atol=5e-4)
