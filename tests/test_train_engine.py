@@ -132,6 +132,28 @@ def test_train_multidevice_mesh():
     assert abs(stats["loss"] - stats1["loss"]) < 1e-4
 
 
+def test_nan_abort_via_device_flag():
+    """The NaN hard abort (engine_finetune.py:108-110) now fires from a
+    device-side finite flag at fetch points, not a per-step host sync."""
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=4, epochs=1, warmup_epochs=0)
+    mod = make_module(cfg, tc, iters=2)
+    batches = synthetic_batches(2, 4, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+    bad = batches[0][0].copy()
+    bad[0, 0, 0, 0] = np.nan
+    with pytest.raises(FloatingPointError):
+        mod.train_epoch(
+            state, [(bad, batches[0][1])] + batches[1:], 0, nan_check_every=1
+        )
+    # ... and also at epoch end when the check interval never fires
+    state2 = mod.init(jnp.asarray(batches[0][0]))
+    with pytest.raises(FloatingPointError):
+        mod.train_epoch(
+            state2, [(bad, batches[0][1])], 0, nan_check_every=0
+        )
+
+
 def test_optimizer_lr_scales():
     cfg = tiny_cfg()
     model = AudioViT(cfg)

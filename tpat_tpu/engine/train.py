@@ -23,7 +23,6 @@ TPU-native form of DDP's bucketed NCCL all-reduce.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import flax.struct
@@ -150,7 +149,7 @@ class TrainModule:
         jitted; 'anneal' takes an extra (depth,) keep-rate array input."""
         loss_fn = LOSS_FNS[self.loss_type]
 
-        def step(state: TrainState, x, y, keep_rates=None):
+        def step(state: TrainState, acc, x, y, keep_rates=None):
             rng, r0, r1, r2, r3 = jax.random.split(
                 jax.random.fold_in(state.rng, state.step), 5
             )
@@ -184,9 +183,26 @@ class TrainModule:
                 "lr": self.lr_fn(state.step // max(self.train_cfg.accum_iter, 1)),
                 "grad_norm": opt_lib.global_grad_norm(grads),
             }
-            return new_state, metrics
+            # Device-side metric accumulation: the host never reads a
+            # scalar per step, so the loop never blocks on the device.
+            # The NaN abort (engine_finetune.py:108-110) becomes a device
+            # flag checked at fetch points in train_epoch.
+            acc = {
+                "loss_sum": acc["loss_sum"] + loss,
+                "grad_norm_sum": acc["grad_norm_sum"] + metrics["grad_norm"],
+                "finite": jnp.logical_and(acc["finite"], jnp.isfinite(loss)),
+            }
+            return new_state, acc, metrics
 
         return step
+
+    @staticmethod
+    def _zero_acc():
+        return {
+            "loss_sum": jnp.zeros((), jnp.float32),
+            "grad_norm_sum": jnp.zeros((), jnp.float32),
+            "finite": jnp.asarray(True),
+        }
 
     def compiled_step(self, phase: str, mask_prob: float = 0.0):
         key = (phase, mask_prob)
@@ -194,7 +210,7 @@ class TrainModule:
             if not hasattr(self, "_tx"):
                 raise RuntimeError("call init_state() before compiled_step()")
             fn = self.make_train_step(phase, mask_prob)
-            self._steps[key] = jax.jit(fn, donate_argnums=(0,))
+            self._steps[key] = jax.jit(fn, donate_argnums=(0, 1))
         return self._steps[key]
 
     def init(self, sample_x, seed: Optional[int] = None) -> TrainState:
@@ -235,9 +251,16 @@ class TrainModule:
         epoch: int,
         log_every: int = 0,
         log_fn: Callable[[str], None] = print,
+        nan_check_every: int = 100,
     ) -> Tuple[TrainState, Dict[str, float]]:
         """One epoch with the reference's phase/aug rules.  ``batches``
-        yields host (x, y) with a fixed global batch size."""
+        yields host (x, y) with a fixed global batch size.
+
+        Metrics accumulate on device; the host fetches a scalar only every
+        ``nan_check_every`` steps (and at log points / epoch end), so the
+        loop stays async instead of paying a device round-trip per step.
+        The NaN hard abort (engine_finetune.py:108-110) fires at those
+        fetch points via a device-side finite flag."""
         cfg = self.train_cfg
         phase = schedules.schedule_phase(
             epoch,
@@ -253,11 +276,29 @@ class TrainModule:
 
         logger = MetricLogger(print_fn=log_fn)
         logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
-        losses = []
         it = epoch * self.iters_per_epoch
         batches = logger.log_every(
             batches, log_every, header=f"Epoch: [{epoch}]"
         ) if log_every else batches
+
+        acc = self._zero_acc()
+        if self.mesh is not None:
+            acc = jax.device_put(acc, mesh_lib.replicated_sharding(self.mesh))
+        n_steps = 0
+        check_from = 0
+
+        def check_finite(i):
+            # One blocking scalar fetch covering every step since the last
+            # check; raises like the reference's per-step NaN abort.
+            nonlocal check_from
+            if not bool(acc["finite"]):
+                raise FloatingPointError(
+                    f"Non-finite loss between iters {check_from}..{i} of "
+                    f"epoch {epoch}, stopping training "
+                    "(engine_finetune.py:108-110 semantics)"
+                )
+            check_from = i + 1
+
         for i, (x, y) in enumerate(batches):
             if self.mesh is not None:
                 x, y = mesh_lib.shard_batch(self.mesh, (x, y))
@@ -278,23 +319,27 @@ class TrainModule:
                     drop_loc=cfg.drop_loc,
                 )
                 kr = jnp.asarray(rates, dtype=jnp.float32)
-                state, metrics = step_fn(state, x, y, kr)
+                state, acc, metrics = step_fn(state, acc, x, y, kr)
             else:
-                state, metrics = step_fn(state, x, y)
-            loss = float(metrics["loss"])
-            if not math.isfinite(loss):
-                raise FloatingPointError(
-                    f"Loss is {loss} at epoch {epoch} iter {i}, stopping "
-                    "training (engine_finetune.py:108-110 semantics)"
-                )
-            losses.append(loss)
-            if log_every:
+                state, acc, metrics = step_fn(state, acc, x, y)
+            n_steps += 1
+            at_log = log_every and i % log_every == 0
+            if at_log:
+                m = jax.device_get(metrics)
                 logger.update(
-                    loss=loss,
-                    lr=float(metrics["lr"]),
-                    grad_norm=float(metrics["grad_norm"]),
+                    loss=float(m["loss"]),
+                    lr=float(m["lr"]),
+                    grad_norm=float(m["grad_norm"]),
                 )
+            if at_log or (nan_check_every and (i + 1) % nan_check_every == 0):
+                check_finite(i)
+        acc = jax.device_get(acc)
+        if n_steps and not bool(acc["finite"]):
+            check_finite(n_steps - 1)
         return state, {
-            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "loss": float(acc["loss_sum"]) / n_steps if n_steps else float("nan"),
+            "grad_norm": (
+                float(acc["grad_norm_sum"]) / n_steps if n_steps else float("nan")
+            ),
             "phase": phase,
         }
