@@ -91,6 +91,44 @@ def test_dataset_mixup_soft_labels(corpus):
     assert (y > 0).sum() in (1, 2)
 
 
+def test_skip_norm_and_norm_stats(corpus):
+    """skip_norm hatch (ast/src/dataloader.py:82-88, 203-207) + the
+    norm-stats helper: computed (mean, std) must re-normalize the corpus
+    to zero mean / 0.5 std under the (x - mean)/(2 std) convention."""
+    from tpat_tpu.cli.get_norm_stats import compute_norm_stats
+
+    manifest, label_csv, _ = corpus
+    cfg = DataConfig(
+        name="t", num_classes=5, target_length=128, norm_mean=-6.0,
+        norm_std=5.0, multilabel=False, use_noise=False, loss_type="ce",
+    )
+    raw = AudiosetDataset(manifest, cfg, label_csv, train=False, skip_norm=True)
+    norm = AudiosetDataset(manifest, cfg, label_csv, train=False)
+    x_raw, _, _ = raw[0]
+    x_norm, _, _ = norm[0]
+    # skip_norm output is exactly the pre-normalization fbank
+    np.testing.assert_allclose(x_raw, x_norm * (2 * 5.0) + (-6.0), atol=1e-4)
+
+    mean, std = compute_norm_stats(raw, batch_size=2)
+    allx = np.concatenate([np.asarray(raw[i][0]).ravel() for i in range(5)])
+    assert abs(mean - allx.mean()) < 0.05 * max(1.0, abs(allx.mean()))
+    assert abs(std - allx.std()) < 0.1 * allx.std()
+
+    # normalizing with the computed constants recenters the corpus
+    cfg2 = DataConfig(
+        name="t", num_classes=5, target_length=128, norm_mean=mean,
+        norm_std=std, multilabel=False, use_noise=False, loss_type="ce",
+    )
+    ds2 = AudiosetDataset(manifest, cfg2, label_csv, train=False)
+    ally = np.concatenate([np.asarray(ds2[i][0]).ravel() for i in range(5)])
+    assert abs(ally.mean()) < 0.05
+    assert abs(ally.std() - 0.5) < 0.05
+
+    # compute_norm_stats refuses a normalizing dataset
+    with pytest.raises(ValueError):
+        compute_norm_stats(norm)
+
+
 def test_spec_masking_bounds():
     rng = np.random.default_rng(0)
     mel = np.ones((100, 128), dtype=np.float32)
@@ -202,3 +240,41 @@ def test_voxceleb_dataset(voxceleb_tree):
     xt, yt, _ = train[0]
     assert xt.shape == (1, 128, 128)
     assert yt.sum() == 1.0
+
+
+def test_voxceleb_noncontiguous_speaker_ids(tmp_path):
+    """The one-hot index must come from the scanned sorted speaker map
+    (dataset.py:409-417), not from id arithmetic — a non-contiguous tree
+    (e.g. a corpus subset) would silently mislabel otherwise."""
+    from tpat_tpu.data.datasets import VoxCeleb1Dataset
+
+    sr = 16000
+    rng = np.random.default_rng(1)
+    lines = []
+    speakers = ["id10007", "id10500", "id11251"]  # gaps on purpose
+    for spk in speakers:
+        rel = f"{spk}/clipA/00000.wav"
+        p = tmp_path / "wav" / spk / "clipA"
+        p.mkdir(parents=True)
+        save_wav(
+            str(tmp_path / "wav" / rel),
+            (0.1 * rng.normal(size=sr)).astype(np.float32),
+            sr,
+        )
+        lines.append(f"1 {rel}")
+    (tmp_path / "iden_split.txt").write_text("\n".join(lines) + "\n")
+
+    cfg = DataConfig(
+        name="voxceleb1", num_classes=3, target_length=128,
+        norm_mean=-6.37, norm_std=3.074, multilabel=False,
+        use_noise=False, loss_type="ce",
+    )
+    ds = VoxCeleb1Dataset(str(tmp_path), "train", cfg)
+    assert ds.total_classes == 3
+    assert ds.id2class == {"id10007": 0, "id10500": 1, "id11251": 2}
+    got = {}
+    for i in range(3):
+        _, y, rel = ds[i]
+        assert y.shape == (3,) and y.sum() == 1.0
+        got[rel.split("/")[0]] = int(np.argmax(y))
+    assert got == ds.id2class

@@ -59,6 +59,7 @@ class AudiosetDataset:
         seed: int = 0,
         return_waveform: bool = False,
         num_samples: Optional[int] = None,
+        skip_norm: bool = False,
     ):
         with open(manifest_json) as f:
             self.data: List[dict] = json.load(f)["data"]
@@ -82,6 +83,9 @@ class AudiosetDataset:
         self.timem = data_cfg.timem if train else 0
         self.mixup = data_cfg.mixup if train else 0.0
         self.noise = data_cfg.use_noise and train
+        # skip_norm: emit UN-normalized fbanks so (mean, std) for a new
+        # dataset can be computed (ast/src/dataloader.py:82-88, 203-207)
+        self.skip_norm = skip_norm
         self.seed = seed
         self.epoch = 0  # set by the loader each epoch
         self.rng = np.random.default_rng(seed)  # non-threaded fallback
@@ -170,7 +174,8 @@ class AudiosetDataset:
 
         if self.freqm or self.timem:
             mel = augment.spec_masking(mel, self.freqm, self.timem, self.rng)
-        mel = fb.normalize(mel, self.cfg.norm_mean, self.cfg.norm_std)
+        if not self.skip_norm:
+            mel = fb.normalize(mel, self.cfg.norm_mean, self.cfg.norm_std)
         if self.noise:
             mel = augment.noise_aug(mel, self.rng)
         return mel[None].astype(np.float32), labels, datum["wav"]
@@ -192,6 +197,7 @@ class VoxCeleb1Dataset:
         data_cfg: DataConfig,
         lr_pad: bool = False,
         seed: int = 0,
+        skip_norm: bool = False,
     ):
         assert subset in ("train", "test")
         self.root = root
@@ -202,6 +208,7 @@ class VoxCeleb1Dataset:
         self.timem = data_cfg.timem if self.train else 0
         self.noise = data_cfg.use_noise and self.train
         self.roll_mag = data_cfg.roll_mag_aug and self.train
+        self.skip_norm = skip_norm
         self.seed = seed
         self.epoch = 0
         self.rng = np.random.default_rng(seed)
@@ -214,9 +221,14 @@ class VoxCeleb1Dataset:
                 part, rel = line.split()
                 if int(part) == want:
                     self.files.append(rel)
-        speakers = sorted(
-            {f.split("/")[0] for f in self._scan_speakers()}
-        )
+        # Speaker map from a sorted directory scan (dataset.py:409-417's
+        # _map_spk_id).  The label index comes from this map — on the full
+        # contiguous id10001..id11251 corpus it equals the reference's
+        # runtime one-hot index (speaker_id - 1, dataset.py:398-400), and
+        # unlike that arithmetic it stays correct on subset or
+        # non-contiguous speaker trees.
+        speakers = sorted(set(self._scan_speakers()))
+        self.id2class: Dict[str, int] = {s: i for i, s in enumerate(speakers)}
         self.total_classes = len(speakers)
 
     def _scan_speakers(self):
@@ -232,9 +244,8 @@ class VoxCeleb1Dataset:
     def __getitem__(self, index: int):
         self.rng = np.random.default_rng((self.seed, self.epoch, index))
         rel = self.files[index]
-        spk = int(rel.split("/")[0][2:]) - 10000  # id10001 -> 1
         label = np.zeros(self.total_classes, dtype=np.float32)
-        label[spk - 1] = 1.0
+        label[self.id2class[rel.split("/")[0]]] = 1.0
 
         wav, sr = load_wav(os.path.join(self.root, "wav", rel))
         wav = wav - wav.mean()
@@ -251,7 +262,8 @@ class VoxCeleb1Dataset:
         mel = fb.pad_or_crop(mel, self.cfg.target_length, pad_left=pad_left)
         if self.freqm or self.timem:
             mel = augment.spec_masking(mel, self.freqm, self.timem, self.rng)
-        mel = fb.normalize(mel, self.cfg.norm_mean, self.cfg.norm_std)
+        if not self.skip_norm:
+            mel = fb.normalize(mel, self.cfg.norm_mean, self.cfg.norm_std)
         if self.noise:
             mel = augment.noise_aug(mel, self.rng)
         return mel[None].astype(np.float32), label, rel
