@@ -1,0 +1,308 @@
+"""Checkpoint-layout fidelity against the REAL reference torch classes.
+
+``tests/torch_reference.py`` is an independent restatement (kept that way
+per CLAUDE.md); these tests close the remaining gap: a restatement bug
+would be invisible to the parity suite, so here we instantiate the actual
+``/root/reference/audiomae/models_vit.py`` VisionTransformer (with the
+handful of timm symbols it imports stubbed — timm is not in this image),
+save a real ``{'model': state_dict}`` .pth, run it through
+``utils/torch_import.py``, and require logit + topk-index parity.  The
+pos-embed time-crop surgery is checked against the reference's own
+``util/pos_embed.py::interpolate_pos_embed_audio``, and the AST timm
+0.4.5 DeiT layout (``module.v.``-prefixed keys, (8,64) grid center-cut,
+``ast_models.py:333-381``) against the documented slice math.
+
+These tests READ the reference at test time only; no reference code is
+copied into the package.
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from tpat_tpu.config import ViTConfig, ast_vit_base
+from tpat_tpu.models import pos_embed as pe
+from tpat_tpu.models.vit import AudioViT
+from tpat_tpu.utils import torch_import as ti
+
+REF = "/root/reference/audiomae"
+
+
+def _install_timm_stub():
+    """Minimal stand-ins for the four timm symbols models_vit.py imports
+    (timm.data constants, DropPath/to_2tuple/trunc_normal_).  DropPath is
+    only instantiated when drop_path_rate > 0, which these tests never
+    use."""
+    if "timm" in sys.modules and not getattr(
+        sys.modules["timm"], "_tpat_stub", False
+    ):
+        return  # a real timm exists; use it
+
+    timm = types.ModuleType("timm")
+    timm._tpat_stub = True
+    data = types.ModuleType("timm.data")
+    data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    class DropPath(torch.nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = torch.bernoulli(torch.full(shape, keep, device=x.device))
+            return x / keep * mask
+
+    def to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
+
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    timm.data = data
+    timm.models = models
+    models.layers = layers
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.data", data)
+    sys.modules.setdefault("timm.models", models)
+    sys.modules.setdefault("timm.models.layers", layers)
+
+
+def _import_ref(name, path):
+    _install_timm_stub()
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_models_vit():
+    return _import_ref("ref_models_vit", f"{REF}/models_vit.py")
+
+
+@pytest.fixture(scope="module")
+def ref_pos_embed():
+    return _import_ref("ref_pos_embed", f"{REF}/util/pos_embed.py")
+
+
+def _sharpen(model: torch.nn.Module, seed: int = 0):
+    """Randomize weights with sharp qkv so topk importance ordering is
+    decisive at float32 (same trick as test_model_parity)."""
+    g = torch.Generator().manual_seed(seed)
+    sd = model.state_dict()
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            scale = 1.0 if "qkv" in k else 0.05
+            sd[k] = torch.randn(v.shape, generator=g) * scale
+    model.load_state_dict(sd)
+    return model
+
+
+def test_real_reference_vit_checkpoint_roundtrip(ref_models_vit, tmp_path):
+    """Instantiate the actual reference VisionTransformer (vit_small
+    factory, models_vit.py:531-535) with the main_finetune.py:368-382
+    audio surgery, save its state_dict the way save_model does, import,
+    and require logit + per-block topk parity on the pruned path."""
+    m = ref_models_vit
+    tl, nc = 512, 10
+    model = m.vit_small_patch16(
+        num_classes=nc,
+        drop_path_rate=0.0,
+        mean_pooling=True,
+        mask_2d=True,
+        target_length=tl,
+        drop_loc=(3, 6, 9),
+        base_keep_rate=0.5,
+    )
+    # the audio_exp surgery (main_finetune.py:373-382)
+    model.patch_embed = m.PatchEmbed((tl, 128), 16, 1, 384)
+    num_patches = (128 // 16) * (tl // 16)
+    model.pos_embed = torch.nn.Parameter(
+        torch.zeros(1, num_patches + 1, 384), requires_grad=False
+    )
+    _sharpen(model)
+    model = model.eval()
+
+    path = str(tmp_path / "checkpoint-0.pth")
+    torch.save({"model": model.state_dict(), "epoch": 0}, path)
+
+    x = np.random.default_rng(0).normal(size=(2, 1, tl, 128)).astype(np.float32)
+    with torch.no_grad():
+        ref_logits, ref_feats = model(
+            torch.from_numpy(x), flag_extract_features=True
+        )
+
+    cfg = ViTConfig(
+        embed_dim=384,
+        depth=12,
+        num_heads=6,
+        num_classes=nc,
+        target_length=tl,
+        num_mel_bins=128,
+        drop_loc=(3, 6, 9),
+        base_keep_rate=0.5,
+        drop_path_rate=0.0,
+        pos_embed_mode="pre_cls",
+        frozen_pos_embed=True,
+        attention_impl="xla",
+    )
+    sd = ti.load_torch_state_dict(path)
+    imported = ti.audiomae_params_from_state_dict(
+        sd, cfg, ckpt_grid=(cfg.grid_f, cfg.grid_t)
+    )
+    jmodel = AudioViT(cfg)
+    init = jmodel.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 1, tl, 128))
+    )["params"]
+    params = ti.overlay_params(init, imported)
+
+    got, feats = jmodel.apply(
+        {"params": params}, jnp.asarray(x), extract_features=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), ref_logits.numpy(), rtol=1e-3, atol=5e-4
+    )
+    for i in (3, 6, 9):
+        key = f"block-{i}.topk_idx"
+        assert key in feats and key in ref_feats
+        np.testing.assert_array_equal(
+            np.asarray(feats[key]), ref_feats[key].numpy()
+        )
+        skey = f"block-{i}.attn_score"
+        np.testing.assert_allclose(
+            np.asarray(feats[skey]), ref_feats[skey].numpy(),
+            rtol=1e-3, atol=1e-5,
+        )
+
+
+def test_pos_embed_time_crop_matches_reference_function(ref_pos_embed):
+    """Our crop_time_audio_pos_embed vs the reference's
+    interpolate_pos_embed_audio (util/pos_embed.py:139-159) on the real
+    AudioSet-shaped (8, 64) ViT-B grid -> (8, 32)."""
+    rng = np.random.default_rng(1)
+    pos = rng.normal(size=(1, 513, 768)).astype(np.float32)
+
+    class _Stub(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch_embed = types.SimpleNamespace(num_patches=8 * 32)
+            self.pos_embed = torch.nn.Parameter(torch.zeros(1, 257, 768))
+
+    ckpt = {"pos_embed": torch.from_numpy(pos.copy())}
+    ref_pos_embed.interpolate_pos_embed_audio(
+        _Stub(), ckpt, orig_size=(8, 64), new_size=(8, 32)
+    )
+    want = ckpt["pos_embed"].numpy()
+    got = pe.crop_time_audio_pos_embed(pos, (8, 64), (8, 32), num_extra_tokens=1)
+    assert got.shape == (1, 257, 768)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    # no-crop identity when geometries already match
+    same = pe.crop_time_audio_pos_embed(pos, (8, 64), (8, 64))
+    np.testing.assert_array_equal(same, pos)
+
+
+def _fake_ast_timm_state_dict(rng, depth=12, d=768, nc=35):
+    """The exact key layout AST's DataParallel checkpoint carries: a timm
+    0.4.5 DeiT-distilled ViT under ``module.v.`` plus the LayerNorm+Linear
+    ``module.mlp_head`` (ast_models.py:264-330, traintest.py:247)."""
+    sd = {}
+
+    def put(k, shape, scale=0.05):
+        sd[k] = (rng.normal(size=shape) * scale).astype(np.float32)
+
+    put("module.v.cls_token", (1, 1, d))
+    put("module.v.dist_token", (1, 1, d))
+    put("module.v.pos_embed", (1, 2 + 512, d))  # (8, 64) AudioSet grid
+    put("module.v.patch_embed.proj.weight", (d, 1, 16, 16))
+    put("module.v.patch_embed.proj.bias", (d,))
+    for i in range(depth):
+        b = f"module.v.blocks.{i}"
+        put(f"{b}.norm1.weight", (d,), 1.0)
+        put(f"{b}.norm1.bias", (d,))
+        put(f"{b}.attn.qkv.weight", (3 * d, d), 0.2)
+        put(f"{b}.attn.qkv.bias", (3 * d,))
+        put(f"{b}.attn.proj.weight", (d, d))
+        put(f"{b}.attn.proj.bias", (d,))
+        put(f"{b}.norm2.weight", (d,), 1.0)
+        put(f"{b}.norm2.bias", (d,))
+        put(f"{b}.mlp.fc1.weight", (4 * d, d))
+        put(f"{b}.mlp.fc1.bias", (4 * d,))
+        put(f"{b}.mlp.fc2.weight", (d, 4 * d))
+        put(f"{b}.mlp.fc2.bias", (d,))
+    put("module.v.norm.weight", (d,), 1.0)
+    put("module.v.norm.bias", (d,))
+    put("module.mlp_head.0.weight", (d,), 1.0)
+    put("module.mlp_head.0.bias", (d,))
+    put("module.mlp_head.1.weight", (nc, d))
+    put("module.mlp_head.1.bias", (nc,))
+    return sd
+
+
+def test_ast_timm_layout_import_end_to_end(tmp_path):
+    """The AST AudioSet-pretrained construction path end-to-end on the
+    exact DataParallel key layout: module. strip, v. split, (8,64)->(8,t)
+    center time-cut (ast_models.py:362-381), mlp_head pickup — then a
+    working pruned forward."""
+    rng = np.random.default_rng(7)
+    nc = 35
+    sd_np = _fake_ast_timm_state_dict(rng, nc=nc)
+
+    # save/load through a real .pth like traintest.py:247 does
+    path = str(tmp_path / "best_audio_model.pth")
+    torch.save({k: torch.from_numpy(v) for k, v in sd_np.items()}, path)
+    sd = ti.load_torch_state_dict(path)
+    assert "v.cls_token" in sd  # module. prefix stripped
+
+    tl = 512  # t_dim = 32
+    cfg = ast_vit_base(
+        target_length=tl,
+        num_mel_bins=128,
+        num_classes=nc,
+        drop_loc=(3, 6, 9),
+        base_keep_rate=0.6,
+        attention_impl="xla",
+    )
+    imported = ti.ast_params_from_state_dict(sd, cfg)
+
+    # expected pos-embed: the documented slice math, ast_models.py:362-381
+    pos = sd_np["module.v.pos_embed"]
+    mid = pos[:, 2:, :].reshape(1, 512, 768).transpose(0, 2, 1)
+    mid = mid.reshape(1, 768, 8, 64)
+    t_dim = tl // 16
+    mid = mid[:, :, :, 32 - t_dim // 2 : 32 - t_dim // 2 + t_dim]
+    mid = mid.reshape(1, 768, 8 * t_dim).transpose(0, 2, 1)
+    want = np.concatenate([pos[:, :2, :], mid], axis=1)
+    np.testing.assert_allclose(imported["pos_embed"], want, rtol=0, atol=0)
+
+    # head layout picked up
+    np.testing.assert_allclose(
+        imported["mlp_head"]["kernel"],
+        sd_np["module.mlp_head.1.weight"].T,
+        rtol=0,
+        atol=0,
+    )
+    assert "mlp_head_norm" in imported
+
+    # end-to-end pruned forward with the imported tree
+    model = AudioViT(cfg)
+    x = jnp.asarray(rng.normal(size=(2, 1, tl, 128)).astype(np.float32))
+    init = model.init({"params": jax.random.PRNGKey(0)}, x[:1])["params"]
+    params = ti.overlay_params(init, imported)
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2, nc)
+    assert np.all(np.isfinite(np.asarray(out)))
