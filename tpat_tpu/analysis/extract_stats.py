@@ -79,10 +79,17 @@ def kendall_rank(
     print(feature_dict_path, stat, taus)
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
-        with open(
-            os.path.join(output_dir, f"kendall_rank_{stat}.json"), "w"
-        ) as f:
-            json.dump({fig_title or "run": taus}, f, indent=2)
+        out_path = os.path.join(output_dir, f"kendall_rank_{stat}.json")
+        # Merge into an existing file so successive per-dataset runs build
+        # the combined {dataset: [taus x 12]} artifact — the schema of the
+        # published /root/reference/audiomae/stats/kendall_rank_*.json.
+        merged = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                merged = json.load(f)
+        merged[fig_title or "run"] = taus
+        with open(out_path, "w") as f:
+            json.dump(merged, f, indent=2)
     return taus, cluster_info
 
 

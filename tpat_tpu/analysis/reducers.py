@@ -83,11 +83,13 @@ def draw_kendall_graph(json_path: str, title: str = "", out_path: Optional[str] 
     import numpy as np
 
     data = json.load(open(json_path))
-    x = np.arange(1, 13)
     plt.figure(figsize=(10, 2))
+    n = max(len(ys) for ys in data.values())
+    x = np.arange(1, n + 1)
     for label, ys in data.items():
         avg = float(np.mean(ys))
-        plt.plot(x, ys, label=f"{label} / {avg:.2f}", marker="o")
+        plt.plot(np.arange(1, len(ys) + 1), ys,
+                 label=f"{label} / {avg:.2f}", marker="o")
     plt.ylim(0.0, 1.0)
     plt.ylabel(r"$\tau$", fontsize=16)
     plt.xticks(x)
