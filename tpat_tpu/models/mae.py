@@ -22,8 +22,8 @@ Decoders (``decoder_mode``):
   import of the *encoder* is unaffected: finetuning drops decoder weights,
   main_finetune.py:414 strict=False).
 
-Unlike the reference, a runnable pretraining engine is provided
-(``tpat_tpu/engine/pretrain.py``).
+Unlike the reference, a runnable pretraining driver is provided
+(``tpat_tpu/cli/pretrain.py``).
 """
 
 from __future__ import annotations
