@@ -134,18 +134,22 @@ def test_feature_roundtrip_and_kendall_cli(tmp_path, rng):
 
 
 def _write_constant_patch_corpus(dirpath, bands, patch=16, grid=(8, 8)):
-    """Feature dir whose per-patch means are 5 well-separated constant
-    bands (KMeans(5) recovers them exactly), so the whole kendall pipeline
-    has an analytically-known answer."""
+    """Feature dir whose per-patch means are 5 well-separated bands
+    (KMeans(5) recovers them exactly), so the whole kendall pipeline has
+    an analytically-known answer.  A tiny zero-mean within-patch jitter
+    keeps the std statistic non-degenerate without moving patch means."""
     h, w = grid
     n = h * w
     b = bands.shape[0]
+    jrng = np.random.default_rng(12345)
     mel = np.zeros((b, 1, h * patch, w * patch), dtype=np.float32)
     for bi in range(b):
         for p in range(n):
             r, c = divmod(p, w)
+            jitter = jrng.normal(0, 1e-3, size=(patch, patch))
+            jitter -= jitter.mean()
             mel[bi, 0, r * patch:(r + 1) * patch, c * patch:(c + 1) * patch] = (
-                bands[bi, p] * 10.0 - 20.0
+                bands[bi, p] * 10.0 - 20.0 + jitter
             )
     # block-0 score: band-ordered with a tiny within-cluster tiebreak ->
     # every cross-cluster pair concordant, within-cluster pairs tie on
@@ -238,6 +242,27 @@ def test_kendall_json_schema_matches_published(tmp_path, rng):
             out_path=str(tmp_path / "ours.jpg"),
         )
     )
+
+
+def test_visualize_subcommands_write_images(tmp_path, rng):
+    """visualize_mask (extract_stats.py:23-64) and retained_token_visualize
+    (:284-331) end-to-end on a synthetic feature dir."""
+    from tpat_tpu.analysis.extract_stats import (
+        retained_token_visualize, visualize_mask,
+    )
+
+    bands = rng.integers(0, 5, size=(3, 64)).astype(np.float64)
+    _write_constant_patch_corpus(tmp_path / "feats", bands)
+    out = visualize_mask(str(tmp_path / "feats"), str(tmp_path / "viz"),
+                         num_items=3)
+    imgs = os.listdir(out)
+    assert any("input" in p for p in imgs)
+    assert any(p.endswith("_0.jpg") for p in imgs)
+
+    path = retained_token_visualize(
+        str(tmp_path / "feats"), str(tmp_path / "viz"), fig_title="syn"
+    )
+    assert os.path.exists(path) and os.path.getsize(path) > 0
 
 
 def test_reducers(tmp_path):

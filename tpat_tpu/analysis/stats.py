@@ -48,6 +48,10 @@ def kmeans_rank(
     info = []
     for cid in range(n_clusters):
         vals = stat[labels == cid]
+        if vals.size == 0:
+            # fewer distinct values than clusters (e.g. a constant stat):
+            # sklearn leaves the centroid memberless — skip it
+            continue
         info.append((cid, float(vals.min()), float(vals.max()), vals.size))
     info.sort(key=lambda x: x[1])
     remap = {old: new for new, (old, *_rest) in enumerate(info)}
