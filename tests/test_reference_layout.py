@@ -189,6 +189,84 @@ def test_real_reference_vit_checkpoint_roundtrip(ref_models_vit, tmp_path):
         )
 
 
+def _small_pair(ref_models_vit, drop_loc=(3, 6, 9), keep=0.5, tl=512, nc=10):
+    """Reference vit_small (audio surgery applied, sharp-randomized) plus
+    the matching imported AudioViT params."""
+    m = ref_models_vit
+    model = m.vit_small_patch16(
+        num_classes=nc, drop_path_rate=0.0, mean_pooling=True, mask_2d=True,
+        target_length=tl, drop_loc=drop_loc, base_keep_rate=keep,
+    )
+    model.patch_embed = m.PatchEmbed((tl, 128), 16, 1, 384)
+    num_patches = (128 // 16) * (tl // 16)
+    model.pos_embed = torch.nn.Parameter(
+        torch.zeros(1, num_patches + 1, 384), requires_grad=False
+    )
+    _sharpen(model)
+    model = model.eval()
+
+    cfg = ViTConfig(
+        embed_dim=384, depth=12, num_heads=6, num_classes=nc,
+        target_length=tl, num_mel_bins=128, drop_loc=drop_loc,
+        base_keep_rate=keep, drop_path_rate=0.0, pos_embed_mode="pre_cls",
+        frozen_pos_embed=True, attention_impl="xla",
+    )
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    imported = ti.audiomae_params_from_state_dict(
+        sd, cfg, ckpt_grid=(cfg.grid_f, cfg.grid_t)
+    )
+    jmodel = AudioViT(cfg)
+    init = jmodel.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 1, tl, 128))
+    )["params"]
+    params = ti.overlay_params(init, imported)
+    return model, jmodel, params, cfg
+
+
+def test_custom_rank_matches_real_reference(ref_models_vit):
+    """The custom-rank ablation (models_vit.py:341-351, 371-374) against
+    the actual reference class: importance replaced by per-patch mel
+    mean/std, re-gathered through pruning."""
+    tmodel, jmodel, params, cfg = _small_pair(ref_models_vit)
+    x = np.random.default_rng(3).normal(size=(2, 1, 512, 128)).astype(np.float32)
+    for kind in ("mean", "std"):
+        tmodel.use_custom_rank = kind
+        with torch.no_grad():
+            want = tmodel(torch.from_numpy(x))
+        got = jmodel.apply({"params": params}, jnp.asarray(x), custom_rank=kind)
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy(), rtol=1e-3, atol=5e-4
+        )
+    tmodel.use_custom_rank = None
+
+
+def test_intensity_band_matches_real_reference(ref_models_vit):
+    """The intensity-band hard drop (models_vit.py:353-385) against the
+    actual reference class: B=1, dense keep rates, band after block 1."""
+    tmodel, jmodel, params, cfg = _small_pair(
+        ref_models_vit, drop_loc=(), keep=1.0
+    )
+    x = np.random.default_rng(4).normal(size=(1, 1, 512, 128)).astype(np.float32)
+    lo, hi = -0.3, 0.4
+    tmodel.drop_token_blk_idx = 1
+    tmodel.retain_min = lo
+    tmodel.retain_max = hi
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x))
+    assert want is not None, "band must retain some tokens for this fixture"
+    got, kept = jmodel.apply(
+        {"params": params},
+        jnp.asarray(x),
+        jnp.ones((cfg.depth,), jnp.float32),
+        intensity_band=(lo, hi, 1),
+        method=AudioViT.forward_masked,
+    )
+    assert int(kept[0]) > 0
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy(), rtol=1e-3, atol=5e-4
+    )
+
+
 def test_pos_embed_time_crop_matches_reference_function(ref_pos_embed):
     """Our crop_time_audio_pos_embed vs the reference's
     interpolate_pos_embed_audio (util/pos_embed.py:139-159) on the real
