@@ -94,25 +94,29 @@ def summarize(trace_dir):
         return
     with gzip.open(sorted(files)[-1], "rt") as f:
         trace = json.load(f)
-    # keep only TPU-device complete events
+    # device pids are announced via process_name metadata events
+    device_pids = {
+        ev["pid"]
+        for ev in trace.get("traceEvents", [])
+        if ev.get("ph") == "M"
+        and ev.get("name") == "process_name"
+        and "TPU" in str((ev.get("args") or {}).get("name", ""))
+    }
     by_name = defaultdict(float)
     total = 0.0
     for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X":
+        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
             continue
-        # heuristics: XLA ops carry 'dur' and names like 'fusion.123'
         name = ev.get("name", "")
-        pid = ev.get("pid", -1)
         dur = ev.get("dur", 0)
-        cat = ev.get("args", {}).get("long_name", "") if ev.get("args") else ""
         if not name or dur <= 0:
             continue
-        by_name[(pid, name.split(".")[0])] += dur
+        by_name[name.split(".")[0]] += dur
         total += dur
     top = sorted(by_name.items(), key=lambda kv: -kv[1])[:30]
-    print("top op groups (pid, prefix) us:")
-    for (pid, name), dur in top:
-        print(f"  {pid:>4} {name:<40} {dur:12.0f}")
+    print(f"device op groups (us, total {total:.0f}):")
+    for name, dur in top:
+        print(f"  {name:<40} {dur:12.0f}")
 
 
 if __name__ == "__main__":

@@ -34,6 +34,16 @@ from tpat_tpu.utils import torch_import as ti
 
 REF = "/root/reference/audiomae"
 
+# These tests are the one sanctioned exception to the "parity tests use
+# tests/torch_reference.py only" rule (CLAUDE.md): they exist precisely to
+# catch restatement bugs by checking against the real tree.  Skip cleanly
+# on checkouts without the reference mounted.
+import os  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="/root/reference not mounted"
+)
+
 
 def _install_timm_stub():
     """Minimal stand-ins for the four timm symbols models_vit.py imports

@@ -83,10 +83,21 @@ def kendall_rank(
         # Merge into an existing file so successive per-dataset runs build
         # the combined {dataset: [taus x 12]} artifact — the schema of the
         # published /root/reference/audiomae/stats/kendall_rank_*.json.
+        # Entries whose block count differs from this run are dropped:
+        # they come from a different corpus/config and would silently
+        # corrupt the combined artifact.
         merged = {}
         if os.path.exists(out_path):
             with open(out_path) as f:
-                merged = json.load(f)
+                stale = json.load(f)
+            for k, v in stale.items():
+                if len(v) == len(taus):
+                    merged[k] = v
+                else:
+                    print(
+                        f"kendall_rank: dropping stale entry {k!r} "
+                        f"({len(v)} blocks != {len(taus)})"
+                    )
         merged[fig_title or "run"] = taus
         with open(out_path, "w") as f:
             json.dump(merged, f, indent=2)

@@ -84,7 +84,7 @@ def draw_kendall_graph(json_path: str, title: str = "", out_path: Optional[str] 
 
     data = json.load(open(json_path))
     plt.figure(figsize=(10, 2))
-    n = max(len(ys) for ys in data.values())
+    n = max((len(ys) for ys in data.values()), default=12)
     x = np.arange(1, n + 1)
     for label, ys in data.items():
         avg = float(np.mean(ys))

@@ -286,18 +286,22 @@ class TrainModule:
             acc = jax.device_put(acc, mesh_lib.replicated_sharding(self.mesh))
         n_steps = 0
         check_from = 0
+        prev = {"loss_sum": 0.0, "grad_norm_sum": 0.0}
 
-        def check_finite(i):
-            # One blocking scalar fetch covering every step since the last
-            # check; raises like the reference's per-step NaN abort.
+        def fetch_and_check(i):
+            """One blocking fetch covering every step since the last check:
+            raises like the reference's per-step NaN abort and returns the
+            host copy of the accumulator."""
             nonlocal check_from
-            if not bool(acc["finite"]):
+            host_acc = jax.device_get(acc)
+            if not bool(host_acc["finite"]):
                 raise FloatingPointError(
                     f"Non-finite loss between iters {check_from}..{i} of "
                     f"epoch {epoch}, stopping training "
                     "(engine_finetune.py:108-110 semantics)"
                 )
             check_from = i + 1
+            return host_acc
 
         for i, (x, y) in enumerate(batches):
             if self.mesh is not None:
@@ -322,24 +326,41 @@ class TrainModule:
                 state, acc, metrics = step_fn(state, acc, x, y, kr)
             else:
                 state, acc, metrics = step_fn(state, acc, x, y)
+            del metrics  # device scalars; everything needed rides in acc
             n_steps += 1
             at_log = log_every and i % log_every == 0
             if at_log:
-                m = jax.device_get(metrics)
+                # Window means from the device-side sums (one fetch): the
+                # meters see every step's contribution, not a subsample.
+                host_acc = fetch_and_check(i)
+                win = max(n_steps - int(prev.get("n", 0)), 1)
                 logger.update(
-                    loss=float(m["loss"]),
-                    lr=float(m["lr"]),
-                    grad_norm=float(m["grad_norm"]),
+                    loss=(float(host_acc["loss_sum"]) - prev["loss_sum"]) / win,
+                    lr=float(
+                        self.lr_fn(
+                            (it + i) // max(self.train_cfg.accum_iter, 1)
+                        )
+                    ),
+                    grad_norm=(
+                        float(host_acc["grad_norm_sum"])
+                        - prev["grad_norm_sum"]
+                    )
+                    / win,
                 )
-            if at_log or (nan_check_every and (i + 1) % nan_check_every == 0):
-                check_finite(i)
-        acc = jax.device_get(acc)
-        if n_steps and not bool(acc["finite"]):
-            check_finite(n_steps - 1)
+                prev = {
+                    "loss_sum": float(host_acc["loss_sum"]),
+                    "grad_norm_sum": float(host_acc["grad_norm_sum"]),
+                    "n": n_steps,
+                }
+            elif nan_check_every and (i + 1) % nan_check_every == 0:
+                fetch_and_check(i)
+        host_acc = fetch_and_check(n_steps - 1) if n_steps else self._zero_acc()
         return state, {
-            "loss": float(acc["loss_sum"]) / n_steps if n_steps else float("nan"),
+            "loss": float(host_acc["loss_sum"]) / n_steps if n_steps else float("nan"),
             "grad_norm": (
-                float(acc["grad_norm_sum"]) / n_steps if n_steps else float("nan")
+                float(host_acc["grad_norm_sum"]) / n_steps
+                if n_steps
+                else float("nan")
             ),
             "phase": phase,
         }
