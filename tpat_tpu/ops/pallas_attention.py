@@ -98,9 +98,11 @@ def _qkv_kernel(
             ).astype(o_ref.dtype)
 
             if mode == "patch_mean":
-                row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-                qmask = (row >= extra).astype(jnp.float32)
-                colsum_ref[b, hh] = jnp.sum(p * qmask, axis=0, keepdims=True)
+                # column sums over patch-query rows = total minus the few
+                # extra-token rows — avoids an (n, n) iota+mask product
+                colsum_ref[b, hh] = jnp.sum(
+                    p, axis=0, keepdims=True
+                ) - jnp.sum(p[:extra], axis=0, keepdims=True)
             elif mode == "cls":
                 colsum_ref[b, hh] = p[0:1]
             else:
