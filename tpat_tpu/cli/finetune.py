@@ -105,6 +105,14 @@ def get_args_parser():
     p.add_argument("--base_keep_rate", type=float, default=1.0)
     p.add_argument("--shrink_epochs", default=0, type=int)
     p.add_argument("--shrink_start_epoch", default=10, type=int)
+    p.add_argument(
+        "--anneal_mode", default="masked", choices=["masked", "bucketed"],
+        help="shrink-phase execution: 'masked' = exact reference schedule "
+             "under one compilation (full shapes); 'bucketed' = snap keep "
+             "rates up to discrete levels, each a physically-pruned static "
+             "step (real MAC savings during the anneal)",
+    )
+    p.add_argument("--anneal_buckets", default=4, type=int)
     # ablations
     p.add_argument("--custom_rank", default=None, choices=[None, "mean", "std"])
     p.add_argument("--retain_min", default=-100, type=float)
@@ -215,6 +223,8 @@ def build_everything(args):
         drop_loc=drop_loc,
         shrink_start_epoch=args.shrink_start_epoch,
         shrink_epochs=args.shrink_epochs,
+        anneal_mode=args.anneal_mode,
+        anneal_buckets=args.anneal_buckets,
         mask_t_prob=args.mask_t_prob,
         mask_f_prob=args.mask_f_prob,
         first_eval_ep=args.first_eval_ep,

@@ -364,6 +364,18 @@ class TrainConfig:
     drop_loc: Tuple[int, ...] = (3, 6, 9)
     shrink_start_epoch: int = 10
     shrink_epochs: int = 0
+    # How the shrink-phase cosine anneal executes on TPU:
+    # 'masked'   — exact reference semantics: traced keep rates, full
+    #              shapes, ONE compilation for the whole phase.
+    # 'bucketed' — keep rates snap UP to `anneal_buckets` discrete levels
+    #              between 1.0 and base_keep_rate; each level compiles a
+    #              physically-pruned static step (reduced shapes -> real
+    #              MAC savings during the anneal, at most `anneal_buckets`
+    #              compilations).  Effective keep rate is always >= the
+    #              scheduled one, so pruning is never more aggressive
+    #              than the reference schedule.
+    anneal_mode: str = "masked"
+    anneal_buckets: int = 4
 
     # Finetune-time structured masking (regularization)
     mask_t_prob: float = 0.0

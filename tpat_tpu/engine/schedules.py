@@ -54,6 +54,37 @@ def scheduled_keep_rates(
     return tuple(rates)
 
 
+def bucket_keep_rates(
+    rates: Tuple[float, ...],
+    *,
+    base_keep_rate: float,
+    max_keep_rate: float = 1.0,
+    n_buckets: int = 4,
+) -> Tuple[float, ...]:
+    """Snap each scheduled keep rate UP to one of ``n_buckets`` discrete
+    levels in [base_keep_rate, max_keep_rate] (TrainConfig.anneal_mode
+    'bucketed').  Rounding up guarantees the effective keep rate is never
+    below the reference's scheduled value, so bucketing only ever prunes
+    LESS aggressively mid-anneal."""
+    if n_buckets < 2:
+        raise ValueError("anneal_buckets must be >= 2")
+    levels = [
+        base_keep_rate + (max_keep_rate - base_keep_rate) * i / (n_buckets - 1)
+        for i in range(n_buckets)
+    ]
+    out = []
+    for r in rates:
+        if r >= max_keep_rate:
+            out.append(max_keep_rate)
+            continue
+        # 1e-3 tolerance: the cosine tail approaches base asymptotically
+        # (e.g. 0.7005 near the boundary) and should use the base bucket
+        # rather than hold one level up for the whole final stretch
+        snapped = next((lv for lv in levels if lv >= r - 1e-3), max_keep_rate)
+        out.append(round(snapped, 6))
+    return tuple(out)
+
+
 def schedule_phase(
     epoch: int, *, shrink_start_epoch: int, shrink_epochs: int,
     base_keep_rate: float,

@@ -118,7 +118,10 @@ class TrainModule:
 
     # -- steps ----------------------------------------------------------
 
-    def _forward(self, params, x, rngs, phase: str, keep_rates, mask_prob: float):
+    def _forward(
+        self, params, x, rngs, phase: str, keep_rates, mask_prob: float,
+        static_rates=None,
+    ):
         model = self.model
         if phase == "anneal":
             assert self.custom_rank is None, (
@@ -132,7 +135,10 @@ class TrainModule:
                 method=AudioViT.forward_masked,
                 rngs=rngs,
             )
-        kr = (1.0,) * self.model_cfg.depth if phase == "dense" else None
+        if static_rates is not None:
+            kr = static_rates  # bucketed anneal: explicit pruned shapes
+        else:
+            kr = (1.0,) * self.model_cfg.depth if phase == "dense" else None
         return model.apply(
             {"params": params},
             x,
@@ -144,9 +150,13 @@ class TrainModule:
             rngs=rngs,
         )
 
-    def make_train_step(self, phase: str, mask_prob: float = 0.0):
+    def make_train_step(
+        self, phase: str, mask_prob: float = 0.0, static_rates=None
+    ):
         """phase: 'dense' | 'anneal' | 'static'.  The returned function is
-        jitted; 'anneal' takes an extra (depth,) keep-rate array input."""
+        jitted; 'anneal' takes an extra (depth,) keep-rate array input.
+        static_rates: explicit per-block keep-rate tuple compiled into a
+        physically-pruned graph (the bucketed-anneal variants)."""
         loss_fn = LOSS_FNS[self.loss_type]
 
         def step(state: TrainState, acc, x, y, keep_rates=None):
@@ -163,7 +173,8 @@ class TrainModule:
 
             def compute_loss(params):
                 logits = self._forward(
-                    params, x, rngs, phase, keep_rates, mask_prob
+                    params, x, rngs, phase, keep_rates, mask_prob,
+                    static_rates,
                 )
                 return loss_fn(logits, y)
 
@@ -204,12 +215,14 @@ class TrainModule:
             "finite": jnp.asarray(True),
         }
 
-    def compiled_step(self, phase: str, mask_prob: float = 0.0):
-        key = (phase, mask_prob)
+    def compiled_step(
+        self, phase: str, mask_prob: float = 0.0, static_rates=None
+    ):
+        key = (phase, mask_prob, static_rates)
         if key not in self._steps:
             if not hasattr(self, "_tx"):
                 raise RuntimeError("call init_state() before compiled_step()")
-            fn = self.make_train_step(phase, mask_prob)
+            fn = self.make_train_step(phase, mask_prob, static_rates)
             self._steps[key] = jax.jit(fn, donate_argnums=(0, 1))
         return self._steps[key]
 
@@ -270,7 +283,11 @@ class TrainModule:
         )
         # masking regularization is active only before shrink
         mask_prob = cfg.mask_t_prob if phase == "dense" else 0.0
-        step_fn = self.compiled_step(phase, mask_prob)
+        if cfg.anneal_mode not in ("masked", "bucketed"):
+            raise ValueError(f"unknown anneal_mode {cfg.anneal_mode!r}")
+        bucketed_anneal = phase == "anneal" and cfg.anneal_mode == "bucketed"
+        # bucketed anneal picks its per-bucket static step inside the loop
+        step_fn = None if bucketed_anneal else self.compiled_step(phase, mask_prob)
 
         from tpat_tpu.utils.logging import MetricLogger, SmoothedValue
 
@@ -322,8 +339,19 @@ class TrainModule:
                     num_blocks=self.model_cfg.depth,
                     drop_loc=cfg.drop_loc,
                 )
-                kr = jnp.asarray(rates, dtype=jnp.float32)
-                state, acc, metrics = step_fn(state, acc, x, y, kr)
+                if cfg.anneal_mode == "bucketed":
+                    bucketed = schedules.bucket_keep_rates(
+                        rates,
+                        base_keep_rate=cfg.base_keep_rate,
+                        n_buckets=cfg.anneal_buckets,
+                    )
+                    bstep = self.compiled_step(
+                        "static", 0.0, static_rates=bucketed
+                    )
+                    state, acc, metrics = bstep(state, acc, x, y)
+                else:
+                    kr = jnp.asarray(rates, dtype=jnp.float32)
+                    state, acc, metrics = step_fn(state, acc, x, y, kr)
             else:
                 state, acc, metrics = step_fn(state, acc, x, y)
             del metrics  # device scalars; everything needed rides in acc
