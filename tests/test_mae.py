@@ -81,6 +81,123 @@ def test_mae_forward_and_loss(rng, decoder_mode):
     assert mask.shape == (2, cfg.num_patches)
 
 
+def test_swin_v2_cr_block_matches_torch(rng):
+    """The decoder block math (cosine attention + logit scale + log-CPB
+    meta-MLP + shift masking + V2 post-norm) matches a torch restatement of
+    timm's SwinTransformerV2CrBlock at the reference's shifted
+    configuration."""
+    import torch
+
+    from tests.torch_reference import RefSwinV2CrBlock
+    from tpat_tpu.models.mae import SwinBlock
+    from tpat_tpu.utils.torch_import import _swin_v2_cr_block
+
+    dim, heads, feat, window, shift = 32, 4, (8, 4), (4, 4), (2, 0)
+    torch.manual_seed(0)
+    ref = RefSwinV2CrBlock(dim, heads, feat, window, shift).eval()
+    sd = {f"b.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    params = _swin_v2_cr_block(sd, "b")
+
+    x = rng.normal(size=(2, feat[0] * feat[1], dim)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    blk = SwinBlock(dim, heads, feat, window, shift)
+    got = np.asarray(blk.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_mae_swin_decoder_import_matches_torch(rng):
+    """A full reference-layout MAE state_dict (encoder + swin_v2_cr decoder)
+    imports into the exact flax param tree, and the imported decoder
+    reproduces the torch decoder path (models_mae.py:357-404) on the same
+    latent/ids_restore."""
+    import torch
+    import torch.nn as nn
+
+    from tests.torch_reference import RefBlock, RefMAEDecoder, RefPatchEmbed
+    from tpat_tpu.utils.torch_import import mae_params_from_state_dict
+
+    cfg = tiny_mae(1)  # grid (4, 2), window (2, 2), dd=32
+    model = MaskedAutoencoderViT(cfg)
+    p = cfg.num_patches
+
+    class _Enc(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.cls_token = nn.Parameter(torch.randn(1, 1, cfg.embed_dim))
+            self.pos_embed = nn.Parameter(
+                torch.randn(1, p + 1, cfg.embed_dim), requires_grad=False
+            )
+            self.patch_embed = RefPatchEmbed(cfg.embed_dim)
+            self.blocks = nn.ModuleList(
+                [
+                    RefBlock(cfg.embed_dim, cfg.num_heads, 1, "patch_mean")
+                    for _ in range(cfg.depth)
+                ]
+            )
+            self.norm = nn.LayerNorm(cfg.embed_dim, eps=1e-6)
+
+    torch.manual_seed(1)
+    enc = _Enc()
+    dec = RefMAEDecoder(
+        dim_enc=cfg.embed_dim,
+        dim_dec=cfg.decoder_embed_dim,
+        depth=cfg.decoder_depth,
+        num_heads=cfg.decoder_num_heads,
+        feat_size=cfg.grid,
+        window=cfg.window_size,
+        pred_dim=cfg.patch_size ** 2,
+    ).eval()
+    with torch.no_grad():
+        dec.mask_token.normal_()
+        dec.decoder_pos_embed.normal_()
+    sd = {
+        **{k: v.numpy() for k, v in enc.state_dict().items()},
+        **{k: v.numpy() for k, v in dec.state_dict().items()},
+    }
+    imported = mae_params_from_state_dict(sd)
+
+    # structural fidelity: imported tree == init tree, key for key
+    imgs = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    init_params = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        imgs,
+        0.75,
+    )["params"]
+
+    def flat(tree, pre=""):
+        if not isinstance(tree, dict):
+            return {pre: tuple(np.shape(tree))}
+        out = {}
+        for k, v in tree.items():
+            out.update(flat(v, f"{pre}/{k}"))
+        return out
+
+    assert flat(imported) == flat(init_params)
+
+    # decoder forward parity on a shared latent / ids_restore
+    len_keep = 3
+    latent = rng.normal(size=(2, 1 + len_keep, cfg.embed_dim)).astype(
+        np.float32
+    )
+    ids_restore = np.stack(
+        [rng.permutation(p) for _ in range(2)]
+    ).astype(np.int64)
+    with torch.no_grad():
+        want = dec(
+            torch.from_numpy(latent), torch.from_numpy(ids_restore)
+        ).numpy()
+    got = np.asarray(
+        model.apply(
+            {"params": imported},
+            jnp.asarray(latent),
+            jnp.asarray(ids_restore),
+            method=MaskedAutoencoderViT.forward_decoder,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_mae_overfits_one_batch(rng):
     import optax
 

@@ -91,6 +91,199 @@ class RefBlock(nn.Module):
         return x, topk_idx, score
 
 
+class _RefMetaMlp(nn.Module):
+    """2-layer ReLU log-CPB meta-MLP with timm's ``fc1``/``fc2`` key names
+    (``swin_transformer_v2_cr.py`` WindowMultiHeadAttention.meta_mlp)."""
+
+    def __init__(self, hidden, heads):
+        super().__init__()
+        self.fc1 = nn.Linear(2, hidden)
+        self.fc2 = nn.Linear(hidden, heads)
+
+    def forward(self, x):
+        return self.fc2(torch.relu(self.fc1(x)))
+
+
+class RefWindowAttentionV2(nn.Module):
+    """Restatement of timm swin_v2_cr ``WindowMultiHeadAttention`` math:
+    cosine attention scaled by a clamped learned per-head logit scale, plus
+    a continuous relative-position bias from the meta-MLP over log-spaced
+    pairwise window coordinates."""
+
+    def __init__(self, dim, num_heads, window, meta_hidden=384):
+        super().__init__()
+        self.h = num_heads
+        self.window = window
+        self.qkv = nn.Linear(dim, dim * 3, bias=True)
+        self.proj = nn.Linear(dim, dim, bias=True)
+        self.meta_mlp = _RefMetaMlp(meta_hidden, num_heads)
+        self.logit_scale = nn.Parameter(torch.log(10 * torch.ones(num_heads)))
+        wh, ww = window
+        coords = torch.stack(
+            torch.meshgrid(torch.arange(wh), torch.arange(ww), indexing="ij")
+        ).flatten(1)
+        rel = (coords[:, :, None] - coords[:, None, :]).permute(1, 2, 0)
+        rel = rel.reshape(-1, 2).float()
+        self.register_buffer(
+            "relative_coordinates_log",
+            torch.sign(rel) * torch.log1p(rel.abs()),
+            persistent=False,
+        )
+
+    def forward(self, x, mask=None):
+        bw, n, c = x.shape
+        qkv = (
+            self.qkv(x)
+            .view(bw, n, 3, self.h, c // self.h)
+            .permute(2, 0, 3, 1, 4)
+        )
+        q, k, v = qkv.unbind(0)
+        attn = torch.nn.functional.normalize(
+            q, dim=-1
+        ) @ torch.nn.functional.normalize(k, dim=-1).transpose(-2, -1)
+        logit_scale = torch.clamp(
+            self.logit_scale.reshape(1, self.h, 1, 1), max=math.log(1.0 / 0.01)
+        ).exp()
+        attn = attn * logit_scale
+        bias = (
+            self.meta_mlp(self.relative_coordinates_log)
+            .transpose(1, 0)
+            .reshape(self.h, n, n)
+        )
+        attn = attn + bias.unsqueeze(0)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.view(bw // nw, nw, self.h, n, n)
+            attn = attn + mask.unsqueeze(1).unsqueeze(0)
+            attn = attn.view(-1, self.h, n, n)
+        attn = attn.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(bw, n, c)
+        return self.proj(x)
+
+
+class RefSwinV2CrBlock(nn.Module):
+    """Restatement of timm ``SwinTransformerV2CrBlock`` (the class the
+    reference MAE decoder constructs, ``models_mae.py:93-106``): shifted
+    windows with region masking and V2 res-post-norm residuals."""
+
+    def __init__(self, dim, num_heads, feat_size, window, shift):
+        super().__init__()
+        self.feat_size = feat_size
+        self.window = window
+        self.shift = shift
+        self.attn = RefWindowAttentionV2(dim, num_heads, window)
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = RefMlp(dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.register_buffer(
+            "attn_mask", self._make_attention_mask(), persistent=False
+        )
+
+    def _make_attention_mask(self):
+        st, sf = self.shift
+        if not (st or sf):
+            return None
+        t, f = self.feat_size
+        wh, ww = self.window
+        img = torch.zeros(t, f)
+        cnt = 0
+        for hsl in (slice(0, -wh), slice(-wh, -st), slice(-st, None)):
+            for wsl in (slice(0, -ww), slice(-ww, -sf), slice(-sf, None)):
+                img[hsl, wsl] = cnt
+                cnt += 1
+        win = (
+            img.view(t // wh, wh, f // ww, ww)
+            .permute(0, 2, 1, 3)
+            .reshape(-1, wh * ww)
+        )
+        diff = win.unsqueeze(1) - win.unsqueeze(2)
+        return diff.masked_fill(diff != 0, -100.0)
+
+    def _shifted_window_attn(self, x):
+        b, l, c = x.shape
+        t, f = self.feat_size
+        wh, ww = self.window
+        st, sf = self.shift
+        x = x.view(b, t, f, c)
+        if st or sf:
+            x = torch.roll(x, shifts=(-st, -sf), dims=(1, 2))
+        x = (
+            x.view(b, t // wh, wh, f // ww, ww, c)
+            .permute(0, 1, 3, 2, 4, 5)
+            .reshape(-1, wh * ww, c)
+        )
+        x = self.attn(x, mask=self.attn_mask)
+        x = (
+            x.view(b, t // wh, f // ww, wh, ww, c)
+            .permute(0, 1, 3, 2, 4, 5)
+            .reshape(b, t, f, c)
+        )
+        if st or sf:
+            x = torch.roll(x, shifts=(st, sf), dims=(1, 2))
+        return x.reshape(b, l, c)
+
+    def forward(self, x):
+        x = x + self.norm1(self._shifted_window_attn(x))
+        x = x + self.norm2(self.mlp(x))
+        return x
+
+
+class RefMAEDecoder(nn.Module):
+    """Restatement of the reference MAE decoder path (``models_mae.py:
+    357-404``): decoder_embed -> mask-token unshuffle -> +pos-embed ->
+    drop CLS -> swin blocks -> norm -> pred.  Key names match the reference
+    model's state_dict so the import layout can be checked end to end."""
+
+    def __init__(
+        self,
+        dim_enc,
+        dim_dec,
+        depth,
+        num_heads,
+        feat_size,
+        window,
+        pred_dim,
+    ):
+        super().__init__()
+        p = feat_size[0] * feat_size[1]
+        self.decoder_embed = nn.Linear(dim_enc, dim_dec)
+        self.mask_token = nn.Parameter(torch.zeros(1, 1, dim_dec))
+        self.decoder_pos_embed = nn.Parameter(
+            torch.zeros(1, p + 1, dim_dec), requires_grad=False
+        )
+        self.decoder_blocks = nn.ModuleList(
+            [
+                RefSwinV2CrBlock(
+                    dim_dec,
+                    num_heads,
+                    feat_size,
+                    window,
+                    (0, 0) if i % 2 == 0 else (2, 0),
+                )
+                for i in range(depth)
+            ]
+        )
+        self.decoder_norm = nn.LayerNorm(dim_dec, eps=1e-6)
+        self.decoder_pred = nn.Linear(dim_dec, pred_dim)
+
+    def forward(self, latent, ids_restore):
+        x = self.decoder_embed(latent)
+        n_mask = ids_restore.shape[1] + 1 - x.shape[1]
+        mask_tokens = self.mask_token.repeat(x.shape[0], n_mask, 1)
+        x_ = torch.cat([x[:, 1:, :], mask_tokens], dim=1)
+        x_ = torch.gather(
+            x_,
+            dim=1,
+            index=ids_restore.unsqueeze(-1).repeat(1, 1, x.shape[2]),
+        )
+        x = torch.cat([x[:, :1, :], x_], dim=1)
+        x = x + self.decoder_pos_embed
+        x = x[:, 1:, :]
+        for blk in self.decoder_blocks:
+            x = blk(x)
+        return self.decoder_pred(self.decoder_norm(x))
+
+
 class RefModel(nn.Module):
     """Dense/pruned eval-mode forward for either family."""
 

@@ -13,14 +13,17 @@ masked-patch MSE loss with optional per-patch pixel normalization
 
 Decoders (``decoder_mode``):
 - 0: plain transformer blocks over [cls + unshuffled tokens]
-- 1: shifted-window (Swin-style) blocks over the (64, 8) patch grid with
-  window (4, 4) and alternating (0,0)/(2,0) shifts (``models_mae.py:76-109``).
-  NOTE: the reference imports timm's swin_v2_cr block here; its pretrain
-  driver (main_pretrain.py) is missing upstream so no runnable workflow
-  depends on that exact parameterization — this implementation uses a
-  standard windowed attention with relative position bias (checkpoint
-  import of the *encoder* is unaffected: finetuning drops decoder weights,
-  main_finetune.py:414 strict=False).
+- 1: shifted-window swin_v2_cr blocks over the (64, 8) patch grid with
+  window (4, 4) and alternating (0,0)/(2,0) shifts (``models_mae.py:76-109``;
+  the kwargs there — ``feat_size``, ``drop_attn``, ``extra_norm``,
+  ``sequential_attn`` — are timm's ``SwinTransformerV2CrBlock`` signature).
+  Faithful to that block's math: scaled-cosine attention with clamped
+  learned logit scales, log-CPB meta-MLP relative-position bias, V2
+  res-post-norm residuals, and shift-region attention masking — so a
+  reference MAE checkpoint's *decoder* weights import too
+  (``utils/torch_import.py::mae_params_from_state_dict``), not just the
+  encoder (finetuning drops decoder weights, main_finetune.py:414
+  strict=False).
 
 Unlike the reference, a runnable pretraining driver is provided
 (``tpat_tpu/cli/pretrain.py``).
@@ -104,16 +107,65 @@ class MAEConfig:
         )
 
 
-class WindowAttention(nn.Module):
-    """Windowed MSA with learned relative position bias."""
+def _relative_coordinates_log(window: Tuple[int, int]) -> np.ndarray:
+    """Log-spaced pairwise window coordinates, (L*L, 2), matching timm
+    swin_v2_cr ``WindowMultiHeadAttention._make_pair_wise_relative_positions``
+    (sign(Δ)·log(1+|Δ|), row-major (query, key) pair order)."""
+    wh, ww = window
+    coords = np.stack(
+        np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # (2, L, L)
+    rel = rel.transpose(1, 2, 0).reshape(-1, 2).astype(np.float32)
+    return np.sign(rel) * np.log1p(np.abs(rel))
+
+
+def _shift_attn_mask(
+    feat_size: Tuple[int, int],
+    window: Tuple[int, int],
+    shift: Tuple[int, int],
+) -> Optional[np.ndarray]:
+    """Additive (-100) attention mask for shifted windows, matching timm
+    swin_v2_cr ``SwinTransformerV2CrBlock._make_attention_mask``: region ids
+    painted with the canonical 3x3 slice loop, windows partitioned, pairs in
+    different regions masked.  None when the block is unshifted."""
+    st, sf = shift
+    if not (st or sf):
+        return None
+    t, f = feat_size
+    wh, ww = window
+    img = np.zeros((t, f), dtype=np.float32)
+    cnt = 0
+    for hsl in (slice(0, -wh), slice(-wh, -st), slice(-st, None)):
+        for wsl in (slice(0, -ww), slice(-ww, -sf), slice(-sf, None)):
+            img[hsl, wsl] = cnt
+            cnt += 1
+    win = (
+        img.reshape(t // wh, wh, f // ww, ww)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, wh * ww)
+    )
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttentionV2(nn.Module):
+    """swin_v2_cr window attention (timm ``swin_transformer_v2_cr.py``
+    ``WindowMultiHeadAttention``, the block class the reference constructs at
+    ``models_mae.py:93-106``): scaled-cosine attention with a clamped learned
+    per-head ``logit_scale`` (init log 10, clamp max log 100) and a continuous
+    relative-position bias from a 2-layer ReLU meta-MLP over log-spaced
+    coordinates.  The meta-MLP's train-time dropout (0.125) is omitted — the
+    decoder is evaluated deterministically here."""
 
     dim: int
     num_heads: int
     window: Tuple[int, int]
+    meta_hidden_dim: int = 384
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        # x: (num_windows*B, tokens, dim)
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        # x: (num_windows*B, tokens, dim); mask: (num_windows, tokens, tokens)
         b, n, c = x.shape
         h = self.num_heads
         wh, ww = self.window
@@ -121,21 +173,37 @@ class WindowAttention(nn.Module):
         qkv = nn.Dense(3 * c, name="qkv", kernel_init=_trunc02)(x)
         qkv = qkv.reshape(b, n, 3, h, c // h).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (c // h) ** -0.5
 
-        bias_table = self.param(
-            "rel_pos_bias",
-            _trunc02,
-            ((2 * wh - 1) * (2 * ww - 1), h),
+        # cosine attention: F.normalize semantics (eps=1e-12 floor on norms)
+        qn = q / jnp.maximum(
+            jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12
         )
-        coords = np.stack(
-            np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
-        ).reshape(2, -1)
-        rel = coords[:, :, None] - coords[:, None, :]
-        rel_idx = (rel[0] + wh - 1) * (2 * ww - 1) + (rel[1] + ww - 1)
-        bias = bias_table[jnp.asarray(rel_idx.reshape(-1))]
-        bias = bias.reshape(n, n, h).transpose(2, 0, 1)
+        kn = k / jnp.maximum(
+            jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12
+        )
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qn, kn)
+        logit_scale = self.param(
+            "logit_scale",
+            lambda rng, shape: jnp.full(shape, np.log(10.0), jnp.float32),
+            (h,),
+        )
+        scale = jnp.exp(jnp.minimum(logit_scale, np.log(1.0 / 0.01)))
+        logits = logits * scale.reshape(1, h, 1, 1)
+
+        rel_log = jnp.asarray(_relative_coordinates_log(self.window))
+        bias = nn.Dense(
+            self.meta_hidden_dim, name="meta_fc1", kernel_init=_trunc02
+        )(rel_log)
+        bias = nn.relu(bias)
+        bias = nn.Dense(h, name="meta_fc2", kernel_init=_trunc02)(bias)
+        bias = bias.transpose(1, 0).reshape(h, n, n)
         logits = logits + bias[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            logits = logits.reshape(b // nw, nw, h, n, n)
+            logits = logits + mask[None, :, None]
+            logits = logits.reshape(b, h, n, n)
 
         p = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
@@ -144,7 +212,11 @@ class WindowAttention(nn.Module):
 
 
 class SwinBlock(nn.Module):
-    """Shifted-window transformer block over a (T, F) token grid."""
+    """swin_v2_cr shifted-window block over a (T, F) token grid
+    (``SwinTransformerV2CrBlock`` as constructed at ``models_mae.py:93-106``:
+    window (4,4), feat (64,8), shifts alternating (0,0)/(2,0), extra_norm
+    False, drop-path 0).  V2 res-post-norm ordering: ``x = x + norm1(attn(x))``
+    then ``x = x + norm2(mlp(x))`` — the norm follows the sublayer."""
 
     dim: int
     num_heads: int
@@ -162,24 +234,25 @@ class SwinBlock(nn.Module):
         st, sf = self.shift
         assert l == t * f
 
-        shortcut = x
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x).reshape(b, t, f, d)
+        h = x.reshape(b, t, f, d)
         if st or sf:
             h = jnp.roll(h, shift=(-st, -sf), axis=(1, 2))
         # window partition
         h = h.reshape(b, t // wh, wh, f // ww, ww, d)
         h = h.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww, d)
-        h = WindowAttention(d, self.num_heads, self.window, name="attn")(h)
+        mask = _shift_attn_mask(self.feat_size, self.window, self.shift)
+        h = WindowAttentionV2(d, self.num_heads, self.window, name="attn")(
+            h, None if mask is None else jnp.asarray(mask)
+        )
         # reverse
         h = h.reshape(b, t // wh, f // ww, wh, ww, d)
         h = h.transpose(0, 1, 3, 2, 4, 5).reshape(b, t, f, d)
         if st or sf:
             h = jnp.roll(h, shift=(st, sf), axis=(1, 2))
-        x = shortcut + h.reshape(b, l, d)
+        x = x + nn.LayerNorm(epsilon=1e-6, name="norm1")(h.reshape(b, l, d))
 
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        h = Mlp(int(d * self.mlp_ratio), d, 0.0, jnp.float32, name="mlp")(h)
-        return x + h
+        h = Mlp(int(d * self.mlp_ratio), d, 0.0, jnp.float32, name="mlp")(x)
+        return x + nn.LayerNorm(epsilon=1e-6, name="norm2")(h)
 
 
 class MaskedAutoencoderViT(nn.Module):

@@ -190,6 +190,66 @@ def ast_params_from_state_dict(
     return params
 
 
+def _swin_v2_cr_block(sd: Mapping[str, np.ndarray], prefix: str) -> Dict:
+    """timm ``SwinTransformerV2CrBlock`` state_dict -> flax ``SwinBlock``
+    params.  Key layout per timm ``swin_transformer_v2_cr.py`` (the class the
+    reference constructs at ``models_mae.py:93-106``): ``attn.{qkv,proj}``
+    linears, per-head ``attn.logit_scale``, log-CPB meta-MLP
+    ``attn.meta_mlp.{fc1,fc2}``, post-norm ``norm1/norm2``, ``mlp.{fc1,fc2}``.
+    Non-persistent buffers (``relative_coordinates_log``, ``attn_mask``) are
+    recomputed statically and ignored here."""
+    return {
+        "norm1": _layernorm(sd, f"{prefix}.norm1"),
+        "norm2": _layernorm(sd, f"{prefix}.norm2"),
+        "attn": {
+            "qkv": _linear(sd, f"{prefix}.attn.qkv"),
+            "proj": _linear(sd, f"{prefix}.attn.proj"),
+            "logit_scale": sd[f"{prefix}.attn.logit_scale"],
+            "meta_fc1": _linear(sd, f"{prefix}.attn.meta_mlp.fc1"),
+            "meta_fc2": _linear(sd, f"{prefix}.attn.meta_mlp.fc2"),
+        },
+        "mlp": {
+            "fc1": _linear(sd, f"{prefix}.mlp.fc1"),
+            "fc2": _linear(sd, f"{prefix}.mlp.fc2"),
+        },
+    }
+
+
+def mae_params_from_state_dict(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Full MAE (encoder + decoder) state_dict -> flax params for
+    ``MaskedAutoencoderViT``.
+
+    Covers the reference pretraining model ``models_mae.py:25-464``:
+    encoder (cls/pos/patch-embed/blocks/norm), ``decoder_embed``,
+    ``mask_token``, ``decoder_pos_embed``, swin_v2_cr decoder blocks
+    (``decoder_mode == 1``) or plain transformer blocks (mode 0),
+    ``decoder_norm``, ``decoder_pred``.  No surgery — geometry must match
+    (pretraining resumes at the checkpoint's own grid)."""
+    depth = _depth_of(sd, "blocks")
+    dec_depth = _depth_of(sd, "decoder_blocks")
+    params: Dict = {
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "patch_embed": {"proj": _conv(sd, "patch_embed.proj")},
+        "norm": _layernorm(sd, "norm"),
+        "decoder_embed": _linear(sd, "decoder_embed"),
+        "mask_token": sd["mask_token"],
+        "decoder_pos_embed": sd["decoder_pos_embed"],
+        "decoder_norm": _layernorm(sd, "decoder_norm"),
+        "decoder_pred": _linear(sd, "decoder_pred"),
+    }
+    for i in range(depth):
+        params[f"blocks_{i}"] = _block(sd, f"blocks.{i}")
+    swin = "decoder_blocks.0.attn.logit_scale" in sd
+    for i in range(dec_depth):
+        params[f"decoder_blocks_{i}"] = (
+            _swin_v2_cr_block(sd, f"decoder_blocks.{i}")
+            if swin
+            else _block(sd, f"decoder_blocks.{i}")
+        )
+    return params
+
+
 def overlay_params(init_params: Dict, imported: Dict) -> Dict:
     """Overlay imported leaves onto a freshly-initialized tree (strict=False
     semantics of main_finetune.py:414: imported keys win, missing keys keep
