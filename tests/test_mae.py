@@ -198,6 +198,39 @@ def test_mae_swin_decoder_import_matches_torch(rng):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("decoder_mode", [0, 1])
+def test_mae_export_import_roundtrip(rng, tmp_path, decoder_mode):
+    """save_pth(flavor='mae') -> mae_params_from_state_dict is lossless for
+    both decoder flavors (the full pretraining checkpoint layout)."""
+    from tpat_tpu.utils import torch_export as te
+    from tpat_tpu.utils import torch_import as ti
+
+    cfg = tiny_mae(decoder_mode)
+    model = MaskedAutoencoderViT(cfg)
+    imgs = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        imgs,
+        0.75,
+    )["params"]
+    path = str(tmp_path / "mae.pth")
+    te.save_pth(path, params, flavor="mae", epoch=3)
+    back = ti.mae_params_from_state_dict(ti.load_torch_state_dict(path))
+
+    def flat(tree, pre=""):
+        if not isinstance(tree, dict):
+            return {pre: np.asarray(tree)}
+        out = {}
+        for k, v in tree.items():
+            out.update(flat(v, f"{pre}/{k}"))
+        return out
+
+    a, b = flat(params), flat(back)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_mae_overfits_one_batch(rng):
     import optax
 

@@ -161,8 +161,11 @@ def test_bucket_keep_rates():
     assert bucket_keep_rates(
         (1.0, 0.95, 0.85, 0.71, 0.7), base_keep_rate=0.7, n_buckets=4
     ) == (1.0, 1.0, 0.9, 0.8, 0.7)
-    # bucketed rate is always >= the scheduled rate, and monotone over the
-    # anneal (never re-grows)
+    # bucketed rate is always >= the scheduled rate (STRICT snap-up: the
+    # kept-token count ceil(rate*P) must never fall below the schedule's,
+    # for any patch count), and monotone over the anneal (never re-grows)
+    import math
+
     prev = None
     for it in range(20, 60):  # global iters: epochs 1-2 of the shrink
         epoch = it // 20
@@ -173,11 +176,39 @@ def test_bucket_keep_rates():
         )
         b = bucket_keep_rates(rates, base_keep_rate=0.7, n_buckets=4)
         for r, bb in zip(rates, b):
-            assert bb >= r - 1e-3  # snap-up modulo the documented epsilon
+            assert bb >= r - 1e-9
+            for p in (64, 128, 256, 512):
+                assert math.ceil(bb * p) >= math.ceil(r * p)
         if prev is not None:
             assert all(x <= y + 1e-9 for x, y in zip(b, prev))
         prev = b
-    assert prev[1] == 0.7  # ends at base
+    # the cosine tail (0.7005...) rides one level above base — the base
+    # bucket itself is reached only at an exact hit; the static phase
+    # takes over at base right after the shrink window
+    assert prev[1] == 0.8
+    # boundary values snap UP, never down (the old 1e-3 tolerance kept
+    # one token fewer than the schedule at every bucket boundary)
+    assert bucket_keep_rates((0.8009,), base_keep_rate=0.7, n_buckets=4) == (0.9,)
+
+
+def test_bucketed_anneal_rejects_custom_rank():
+    """Both anneal modes enforce the same rule: the custom-rank ablation is
+    static-phase only (models_vit.py:341-351).  The masked path asserts in
+    _forward; the bucketed path must not silently bypass that."""
+    import pytest
+
+    cfg = tiny_cfg(base_keep_rate=0.6)
+    tc = TrainConfig(
+        batch_size=8, epochs=4, blr=2e-3, warmup_epochs=1,
+        shrink_start_epoch=1, shrink_epochs=2, base_keep_rate=0.6,
+        drop_loc=(1,), anneal_mode="bucketed", anneal_buckets=3,
+    )
+    mod = make_module(cfg, tc)
+    mod.custom_rank = "mean"
+    batches = synthetic_batches(2, 8, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+    with pytest.raises(AssertionError, match="static-phase only"):
+        mod.train_epoch(state, batches, epoch=1)
 
 
 def test_bucketed_anneal_trains_and_bounds_compiles():

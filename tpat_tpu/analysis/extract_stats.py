@@ -86,20 +86,28 @@ def kendall_rank(
         # Entries whose block count differs from this run are dropped:
         # they come from a different corpus/config and would silently
         # corrupt the combined artifact.
-        merged = {}
-        if os.path.exists(out_path):
-            with open(out_path) as f:
-                stale = json.load(f)
-            for k, v in stale.items():
-                if len(v) == len(taus):
-                    merged[k] = v
-                else:
-                    print(
-                        f"kendall_rank: dropping stale entry {k!r} "
-                        f"({len(v)} blocks != {len(taus)})"
-                    )
-        merged[fig_title or "run"] = taus
-        with open(out_path, "w") as f:
+        # Exclusive lock across the read-modify-write: per-dataset runs may
+        # be launched in parallel into one output_dir, and an unlocked
+        # interleave would drop the other run's freshly-added entry.
+        import fcntl
+
+        with open(out_path, "a+") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            f.seek(0)
+            raw = f.read()
+            merged = {}
+            if raw.strip():
+                for k, v in json.loads(raw).items():
+                    if len(v) == len(taus):
+                        merged[k] = v
+                    else:
+                        print(
+                            f"kendall_rank: dropping stale entry {k!r} "
+                            f"({len(v)} blocks != {len(taus)})"
+                        )
+            merged[fig_title or "run"] = taus
+            f.seek(0)
+            f.truncate()
             json.dump(merged, f, indent=2)
     return taus, cluster_info
 

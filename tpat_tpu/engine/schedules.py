@@ -77,10 +77,13 @@ def bucket_keep_rates(
         if r >= max_keep_rate:
             out.append(max_keep_rate)
             continue
-        # 1e-3 tolerance: the cosine tail approaches base asymptotically
-        # (e.g. 0.7005 near the boundary) and should use the base bucket
-        # rather than hold one level up for the whole final stretch
-        snapped = next((lv for lv in levels if lv >= r - 1e-3), max_keep_rate)
+        # Strict snap-up (1e-9 float-fuzz only, for exact-level hits):
+        # kept tokens are ceil(keep_rate * P), so any real snap-down
+        # tolerance could keep one token fewer than the schedule at a
+        # bucket boundary.  The cosine tail (e.g. 0.7005) therefore rides
+        # one level above base until the static phase takes over — that
+        # costs a little speedup at the tail, never correctness.
+        snapped = next((lv for lv in levels if lv >= r - 1e-9), max_keep_rate)
         out.append(round(snapped, 6))
     return tuple(out)
 

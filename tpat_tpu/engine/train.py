@@ -201,6 +201,10 @@ class TrainModule:
             acc = {
                 "loss_sum": acc["loss_sum"] + loss,
                 "grad_norm_sum": acc["grad_norm_sum"] + metrics["grad_norm"],
+                # last applied lr, from the optimizer's actual step counter
+                # (not recomputed on the host from loop indices, which can
+                # drift from state.step after resume / short epochs)
+                "lr_last": metrics["lr"],
                 "finite": jnp.logical_and(acc["finite"], jnp.isfinite(loss)),
             }
             return new_state, acc, metrics
@@ -212,6 +216,7 @@ class TrainModule:
         return {
             "loss_sum": jnp.zeros((), jnp.float32),
             "grad_norm_sum": jnp.zeros((), jnp.float32),
+            "lr_last": jnp.zeros((), jnp.float32),
             "finite": jnp.asarray(True),
         }
 
@@ -286,6 +291,10 @@ class TrainModule:
         if cfg.anneal_mode not in ("masked", "bucketed"):
             raise ValueError(f"unknown anneal_mode {cfg.anneal_mode!r}")
         bucketed_anneal = phase == "anneal" and cfg.anneal_mode == "bucketed"
+        if bucketed_anneal and self.custom_rank is not None:
+            # same rule the masked path asserts in _forward: the ablation
+            # is defined for static phases only (models_vit.py:341-351)
+            raise AssertionError("custom-rank ablation is static-phase only")
         # bucketed anneal picks its per-bucket static step inside the loop
         step_fn = None if bucketed_anneal else self.compiled_step(phase, mask_prob)
 
@@ -345,9 +354,20 @@ class TrainModule:
                         base_keep_rate=cfg.base_keep_rate,
                         n_buckets=cfg.anneal_buckets,
                     )
-                    bstep = self.compiled_step(
-                        "static", 0.0, static_rates=bucketed
+                    # The base bucket IS the post-shrink static graph (the
+                    # model's baked per-block defaults) — share its cache
+                    # key so the shrink->static transition costs no extra
+                    # TPU compile (~3-4 min each on the remote relay).
+                    baked = tuple(
+                        cfg.base_keep_rate if b in cfg.drop_loc else 1.0
+                        for b in range(self.model_cfg.depth)
                     )
+                    if bucketed == baked:
+                        bstep = self.compiled_step("static", 0.0)
+                    else:
+                        bstep = self.compiled_step(
+                            "static", 0.0, static_rates=bucketed
+                        )
                     state, acc, metrics = bstep(state, acc, x, y)
                 else:
                     kr = jnp.asarray(rates, dtype=jnp.float32)
@@ -364,11 +384,7 @@ class TrainModule:
                 win = max(n_steps - int(prev.get("n", 0)), 1)
                 logger.update(
                     loss=(float(host_acc["loss_sum"]) - prev["loss_sum"]) / win,
-                    lr=float(
-                        self.lr_fn(
-                            (it + i) // max(self.train_cfg.accum_iter, 1)
-                        )
-                    ),
+                    lr=float(host_acc["lr_last"]),
                     grad_norm=(
                         float(host_acc["grad_norm_sum"])
                         - prev["grad_norm_sum"]
