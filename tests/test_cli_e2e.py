@@ -194,3 +194,49 @@ def test_finetune_cli_resume(corpus, tmp_path):
 
     epochs = [_json.loads(l)["epoch"] for l in logs]
     assert epochs == [0, 1, 2, 3]  # resumed at 2, no repeats
+
+
+def test_pretrain_cli_smoke_resume_and_export(corpus, tmp_path):
+    """The MAE pretraining driver (the workflow the reference references
+    but does not ship, run_pretrain.sh:18): trains, checkpoints, resumes
+    from the orbax dir, and exports a reference-layout mae_pretrained.pth
+    that re-imports losslessly."""
+    from tpat_tpu.cli.pretrain import get_args_parser, main
+
+    out = tmp_path / "pre"
+    base = [
+        "--dataset", "esc50", "--model", "mae_vit_tiny",
+        "--target_length", "128",
+        "--data_train", str(corpus / "train.json"),
+        "--label_csv", str(corpus / "labels.csv"),
+        "--batch_size", "8", "--warmup_epochs", "1",
+        "--save_every_epochs", "1", "--num_workers", "2",
+        "--output_dir", str(out),
+    ]
+    main(get_args_parser().parse_args(base + ["--epochs", "2"]))
+    logs = [json.loads(l) for l in open(out / "log.txt") if l.strip()]
+    assert [e["epoch"] for e in logs] == [0, 1]
+    assert all(np.isfinite(e["loss"]) for e in logs)
+    assert (out / "checkpoint-001").exists()
+    assert (out / "mae_pretrained.pth").exists()
+
+    # resume continues at epoch 2, no repeats
+    main(
+        get_args_parser().parse_args(
+            base
+            + ["--epochs", "3", "--resume", str(out / "checkpoint-001")]
+        )
+    )
+    logs = [json.loads(l) for l in open(out / "log.txt") if l.strip()]
+    assert [e["epoch"] for e in logs] == [0, 1, 2]
+
+    # the exported .pth is the reference pretraining layout
+    from tpat_tpu.utils.torch_import import (
+        load_torch_state_dict,
+        mae_params_from_state_dict,
+    )
+
+    sd = load_torch_state_dict(str(out / "mae_pretrained.pth"))
+    params = mae_params_from_state_dict(sd)
+    assert "decoder_blocks_0" in params
+    assert "logit_scale" in params["decoder_blocks_0"]["attn"]

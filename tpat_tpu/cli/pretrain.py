@@ -19,6 +19,16 @@ from pathlib import Path
 import numpy as np
 
 
+def str2bool(v):
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("boolean value expected")
+
+
 def get_args_parser():
     p = argparse.ArgumentParser("tpat_tpu MAE pretraining", add_help=False)
     p.add_argument("--batch_size", default=64, type=int)
@@ -35,13 +45,20 @@ def get_args_parser():
     p.add_argument("--norm_pix_loss", action="store_true")
     p.add_argument("--decoder_mode", default=1, type=int)
     p.add_argument("--dataset", default="audioset")
+    p.add_argument("--target_length", default=None, type=int,
+                   help="override the preset's frame count")
     p.add_argument("--data_train", required=True)
     p.add_argument("--label_csv", required=True)
-    p.add_argument("--roll_mag_aug", default=True, type=bool)
+    p.add_argument("--roll_mag_aug", default=True, type=str2bool)
     p.add_argument("--output_dir", default="./pretrain_out")
     p.add_argument("--num_workers", default=4, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--save_every_epochs", default=4, type=int)
+    p.add_argument("--resume", default="",
+                   help="orbax checkpoint dir to resume from")
+    p.add_argument("--export_torch", default=True, type=str2bool,
+                   help="also write mae_pretrained.pth (reference "
+                        "models_mae.py layout) at the end")
     p.add_argument("--model", default="mae_vit_base",
                    choices=["mae_vit_base", "mae_vit_tiny"])
     return p
@@ -64,6 +81,10 @@ def main(args):
     import dataclasses
 
     data_cfg = dataclasses.replace(preset, freqm=0, timem=0, mixup=0.0)
+    if args.target_length:
+        data_cfg = dataclasses.replace(
+            data_cfg, target_length=args.target_length
+        )
     ds = AudiosetDataset(
         args.data_train, data_cfg, args.label_csv, train=True,
         roll_mag_aug=args.roll_mag_aug, seed=args.seed,
@@ -120,11 +141,25 @@ def main(args):
     )
     opt_state = tx.init(params)
     rng = jax.random.PRNGKey(args.seed)
+    step = 0
+    start_epoch = 0
+    if args.resume:
+        template = {
+            "params": jax.tree_util.tree_map(np.asarray, params),
+            "opt_state": jax.tree_util.tree_map(np.asarray, opt_state),
+            "step": 0,
+            "epoch": 0,
+        }
+        restored = ckpt_lib.restore_checkpoint(args.resume, template)
+        params, opt_state = restored["params"], restored["opt_state"]
+        step = int(restored["step"])
+        start_epoch = int(restored["epoch"]) + 1
+        print(f"resumed from {args.resume}: epoch {start_epoch}, step {step}")
     rep = mesh_lib.replicated_sharding(mesh)
     params, opt_state = jax.device_put((params, opt_state), rep)
 
     @jax.jit
-    def train_step(params, opt_state, rng, step, x):
+    def train_step(params, opt_state, loss_sum, rng, step, x):
         def loss_fn(p):
             loss, _, _ = model.apply(
                 {"params": p}, x, args.mask_ratio,
@@ -134,23 +169,32 @@ def main(args):
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state2, loss
+        return (
+            optax.apply_updates(params, updates),
+            opt_state2,
+            loss_sum + loss,  # device-side accumulation: the host fetches
+        )  # once per epoch instead of blocking on every step
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    step = 0
     t0 = time.time()
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
-        losses = []
+        loss_sum = jax.device_put(jnp.zeros(()), rep)
+        n = 0
         for x, _y, _ids in loader:
             x = mesh_lib.shard_batch(mesh, jnp.asarray(x))
-            params, opt_state, loss = train_step(
-                params, opt_state, rng, jnp.asarray(step), x
+            params, opt_state, loss_sum = train_step(
+                params, opt_state, loss_sum, rng, jnp.asarray(step), x
             )
-            losses.append(float(loss))
             step += 1
-        mean_loss = float(np.mean(losses))
+            n += 1
+        mean_loss = float(loss_sum) / max(n, 1)
+        if not np.isfinite(mean_loss):
+            raise FloatingPointError(
+                f"Non-finite loss in epoch {epoch}, stopping pretraining "
+                "(engine_finetune.py:108-110 semantics)"
+            )
         print(f"epoch {epoch}: loss={mean_loss:.4f} lr={float(lr_fn(step)):.2e}")
         with open(out / "log.txt", "a") as f:
             f.write(json.dumps({"epoch": epoch, "loss": mean_loss}) + "\n")
@@ -164,6 +208,16 @@ def main(args):
             ckpt_lib.save_checkpoint(
                 str(out / f"checkpoint-{epoch:03d}"), s, epoch
             )
+    if args.export_torch:
+        from tpat_tpu.utils.torch_export import save_pth
+
+        save_pth(
+            str(out / "mae_pretrained.pth"),
+            jax.tree_util.tree_map(np.asarray, params),
+            flavor="mae",
+            epoch=args.epochs - 1,
+        )
+        print(f"wrote {out / 'mae_pretrained.pth'}")
     print(f"pretraining done in {time.time() - t0:.1f}s")
 
 
