@@ -266,3 +266,61 @@ def test_mae_overfits_one_batch(rng):
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.97, (
         losses[:3] + losses[-3:]
     )
+
+
+def test_mae_reference_init_distributions(rng):
+    """Pretraining-from-scratch init matches models_mae.py:157-177: every
+    Dense kernel is xavier_uniform (bounded by sqrt(6/(fan_in+fan_out)),
+    reaching near the bound), biases zero, tokens ~ normal(0.02); the
+    patch-embed conv uses xavier on the (O, I*kh*kw)-flattened view."""
+    cfg = tiny_mae(1)
+    model = MaskedAutoencoderViT(cfg)
+    imgs = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        imgs,
+        0.75,
+    )["params"]
+
+    def check_xavier(kernel, name):
+        k = np.asarray(kernel)
+        fan_in, fan_out = k.shape[0], k.shape[-1]
+        if k.ndim == 4:  # conv (kh, kw, I, O): torch flattened fan
+            fan_in = k.shape[0] * k.shape[1] * k.shape[2]
+            fan_out = k.shape[3]
+        bound = np.sqrt(6.0 / (fan_in + fan_out))
+        assert np.abs(k).max() <= bound * 1.0001, name
+        assert np.abs(k).max() >= bound * 0.9, (name, "not uniform-to-bound")
+
+    check_xavier(params["blocks_0"]["mlp"]["fc1"]["kernel"], "enc fc1")
+    check_xavier(params["blocks_0"]["attn"]["qkv"]["kernel"], "enc qkv")
+    check_xavier(params["decoder_blocks_0"]["attn"]["qkv"]["kernel"], "dec qkv")
+    check_xavier(params["decoder_blocks_0"]["mlp"]["fc1"]["kernel"], "dec mlp")
+    check_xavier(params["decoder_embed"]["kernel"], "decoder_embed")
+    check_xavier(params["decoder_pred"]["kernel"], "decoder_pred")
+    check_xavier(params["patch_embed"]["proj"]["kernel"], "patch conv")
+    assert float(np.abs(params["blocks_0"]["mlp"]["fc1"]["bias"]).max()) == 0.0
+    # tokens: plain normal(0.02) — the reference's comment notes timm's
+    # trunc cutoff (2.0 absolute) is vacuous at std 0.02
+    tok = np.asarray(params["cls_token"])
+    assert 0.005 < tok.std() < 0.05
+
+
+def test_norm_pix_loss_unbiased_var(rng):
+    """norm_pix_loss normalizes targets with torch's unbiased variance
+    (ddof=1, models_mae.py:412-415)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_mae(0), norm_pix_loss=True)
+    model = MaskedAutoencoderViT(cfg)
+    imgs = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    pred = jnp.zeros((2, cfg.num_patches, cfg.patch_size ** 2))
+    mask = jnp.ones((2, cfg.num_patches))
+    got = float(model.loss(imgs, pred, mask))
+
+    t = np.asarray(model.patchify(imgs))
+    mean = t.mean(-1, keepdims=True)
+    var = t.var(-1, keepdims=True, ddof=1)
+    tn = (t - mean) / np.sqrt(var + 1e-6)
+    want = float((tn ** 2).mean(-1).mean())
+    np.testing.assert_allclose(got, want, rtol=1e-6)

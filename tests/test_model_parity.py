@@ -249,3 +249,60 @@ def test_masked_static_equivalence_sweep(
     np.testing.assert_allclose(
         np.asarray(masked), np.asarray(static), rtol=2e-3, atol=5e-4
     )
+
+
+def test_bicubic_pos_embed_matches_torch_interpolate():
+    """Pos-embed bicubic surgery must reproduce torch F.interpolate
+    (mode='bicubic', align_corners=False, A=-0.75, no antialias) — the
+    exact call at util/pos_embed.py:93-137 — for both the square and the
+    img2audio rectangular paths, upscale and downscale."""
+    import torch.nn.functional as F
+
+    from tpat_tpu.models import pos_embed as pe
+
+    rng = np.random.default_rng(3)
+
+    def want(grid_np, size):
+        t = torch.from_numpy(grid_np).permute(2, 0, 1)[None]
+        o = F.interpolate(t, size=size, mode="bicubic", align_corners=False)
+        return o[0].permute(1, 2, 0).numpy()
+
+    # img2audio: DeiT 14x14 -> audio (8, 64)
+    pos = rng.normal(size=(1, 1 + 14 * 14, 16)).astype(np.float32)
+    out = pe.interpolate_img2audio_pos_embed(pos, (14, 14), (8, 64))
+    w = want(pos[0, 1:].reshape(14, 14, 16), (8, 64))
+    np.testing.assert_allclose(
+        out[0, 1:].reshape(8, 64, 16), w, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(out[:, :1], pos[:, :1])  # cls untouched
+
+    # square: 14x14 -> 20x20 (upscale); atol covers f32-vs-f64
+    # accumulation-order noise on near-zero outputs
+    out = pe.interpolate_square_pos_embed(pos, 20)
+    w = want(pos[0, 1:].reshape(14, 14, 16), (20, 20))
+    np.testing.assert_allclose(
+        out[0, 1:].reshape(20, 20, 16), w, rtol=1e-4, atol=5e-6
+    )
+
+
+def test_frozen_pos_embed_respects_extra_tokens():
+    """Frozen sin-cos pos-embed init must emit one zero row per extra
+    token: an AST-shaped config (2 extras) with frozen_pos_embed used to
+    build a (1, P+1, D) table against a declared (1, P+2, D) shape and
+    blow up at the first forward."""
+    cfg = ViTConfig(
+        embed_dim=32, depth=1, num_heads=2, num_classes=3,
+        target_length=64, num_mel_bins=32, drop_loc=(),
+        num_extra_tokens=2, importance="cls", pooling="cls_dist",
+        pos_embed_mode="post_cat", use_final_norm=True,
+        frozen_pos_embed=True, drop_path_rate=0.0,
+    )
+    model = AudioViT(cfg)
+    x = jnp.zeros((2, 1, 64, 32), np.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    assert params["pos_embed"].shape == (1, cfg.num_patches + 2, 32)
+    np.testing.assert_array_equal(
+        np.asarray(params["pos_embed"][0, :2]), np.zeros((2, 32), np.float32)
+    )
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2, 3)

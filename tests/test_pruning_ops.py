@@ -136,3 +136,35 @@ def test_schedule_phase():
                                  base_keep_rate=1.0)
         == "dense"
     )
+
+
+def test_masked_kept_counts_match_static_double_math():
+    """The host-composed masked-path counts equal the static path's
+    math.ceil chain for every block — including integer-boundary products
+    where the in-graph float32 ceil disagrees with double (keep 0.07 *
+    100 is 7.000000000000001 in double -> 8, but rounds to 7.0 in f32)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from tpat_tpu.engine.schedules import masked_kept_counts
+    from tpat_tpu.ops.pruning import masked_num_left
+
+    # adversarial: f32 and double ceil disagree here
+    assert math.ceil(0.07 * 100) == 8
+    assert int(masked_num_left(jnp.float32(0.07), jnp.int32(100))) == 7
+    assert masked_kept_counts((1.0, 0.07), (1,), 100) == (100, 8)
+
+    # equivalence with ViTConfig.tokens_per_block on a realistic chain
+    from tpat_tpu.config import ViTConfig
+
+    cfg = ViTConfig(
+        embed_dim=64, num_heads=2, depth=12, target_length=512,
+        num_mel_bins=128, drop_loc=(3, 6, 9), base_keep_rate=0.5,
+    )
+    rates = tuple(
+        0.5 if i in cfg.drop_loc else 1.0 for i in range(cfg.depth)
+    )
+    counts = masked_kept_counts(rates, cfg.drop_loc, cfg.num_patches)
+    static = [out for (_in, out) in cfg.tokens_per_block(rates)]
+    assert list(counts) == static

@@ -93,8 +93,18 @@ class ViTConfig:
     # materialization of the probability matrix; falls back to 'xla'
     # whenever a token mask is active, i.e. in the masked anneal phase).
     attention_impl: str = "fused"
+    # Dense/conv weight init for from-scratch training: 'trunc_normal'
+    # (timm/finetune trunk default) or 'xavier_uniform' (the MAE
+    # pretraining init, models_mae.py:157-177 — xavier on every Linear and
+    # on the flattened patch-embed conv).
+    dense_init: str = "trunc_normal"
 
     def __post_init__(self):
+        if self.dense_init not in ("trunc_normal", "xavier_uniform"):
+            raise ValueError(
+                f"dense_init must be 'trunc_normal' or 'xavier_uniform', "
+                f"got {self.dense_init!r}"
+            )
         if self.embed_dim % self.num_heads:
             raise ValueError(
                 f"embed_dim {self.embed_dim} not divisible by num_heads "

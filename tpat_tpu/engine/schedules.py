@@ -88,6 +88,30 @@ def bucket_keep_rates(
     return tuple(out)
 
 
+def masked_kept_counts(
+    rates: Tuple[float, ...],
+    drop_loc: Tuple[int, ...],
+    num_patches: int,
+) -> Tuple[int, ...]:
+    """Per-block kept-token counts for the masked (traced-rate) path,
+    composed on the host in Python double — EXACTLY the arithmetic of the
+    static path (``math.ceil(keep * kept)``, models_vit.py:104).
+
+    The in-graph float32 ``ceil(keep * kept)`` can disagree with double
+    math.ceil when the product sits on an integer boundary (e.g. keep 0.07,
+    kept 100: double gives 7.000000000000001 -> 8, f32 rounds to 7.0 -> 7),
+    so the engine precomputes the counts here and feeds them to
+    ``forward_masked(num_left_array=...)`` as traced ints — same single
+    compilation, bit-identical pruning widths to the reference."""
+    counts = []
+    kept = num_patches
+    for i, r in enumerate(rates):
+        if i in drop_loc and r < 1.0:
+            kept = math.ceil(r * kept)
+        counts.append(kept)
+    return tuple(counts)
+
+
 def schedule_phase(
     epoch: int, *, shrink_start_epoch: int, shrink_epochs: int,
     base_keep_rate: float,

@@ -120,7 +120,7 @@ class TrainModule:
 
     def _forward(
         self, params, x, rngs, phase: str, keep_rates, mask_prob: float,
-        static_rates=None,
+        static_rates=None, num_left=None,
     ):
         model = self.model
         if phase == "anneal":
@@ -131,6 +131,10 @@ class TrainModule:
                 {"params": params},
                 x,
                 keep_rates,  # traced (depth,) array
+                # exact host-computed kept counts (see
+                # schedules.masked_kept_counts) — keeps the masked path's
+                # pruning widths bit-identical to the static/reference math
+                num_left_array=num_left,
                 deterministic=False,
                 method=AudioViT.forward_masked,
                 rngs=rngs,
@@ -159,7 +163,7 @@ class TrainModule:
         physically-pruned graph (the bucketed-anneal variants)."""
         loss_fn = LOSS_FNS[self.loss_type]
 
-        def step(state: TrainState, acc, x, y, keep_rates=None):
+        def step(state: TrainState, acc, x, y, keep_rates=None, num_left=None):
             rng, r0, r1, r2, r3 = jax.random.split(
                 jax.random.fold_in(state.rng, state.step), 5
             )
@@ -174,7 +178,7 @@ class TrainModule:
             def compute_loss(params):
                 logits = self._forward(
                     params, x, rngs, phase, keep_rates, mask_prob,
-                    static_rates,
+                    static_rates, num_left,
                 )
                 return loss_fn(logits, y)
 
@@ -371,7 +375,13 @@ class TrainModule:
                     state, acc, metrics = bstep(state, acc, x, y)
                 else:
                     kr = jnp.asarray(rates, dtype=jnp.float32)
-                    state, acc, metrics = step_fn(state, acc, x, y, kr)
+                    nl = jnp.asarray(
+                        schedules.masked_kept_counts(
+                            rates, cfg.drop_loc, self.model_cfg.num_patches
+                        ),
+                        dtype=jnp.int32,
+                    )
+                    state, acc, metrics = step_fn(state, acc, x, y, kr, nl)
             else:
                 state, acc, metrics = step_fn(state, acc, x, y)
             del metrics  # device scalars; everything needed rides in acc

@@ -41,7 +41,10 @@ import numpy as np
 
 from tpat_tpu.config import ViTConfig
 from tpat_tpu.models import pos_embed as pe
-from tpat_tpu.models.vit import Block, Mlp, PatchEmbed, _trunc02
+from tpat_tpu.models.vit import Block, Mlp, PatchEmbed
+
+_xavier = nn.initializers.xavier_uniform()
+_normal02 = nn.initializers.normal(stddev=0.02)
 
 Array = jnp.ndarray
 
@@ -90,6 +93,7 @@ class MAEConfig:
             base_keep_rate=1.0,
             drop_path_rate=0.0,
             compute_dtype=self.compute_dtype,
+            dense_init="xavier_uniform",  # models_mae.py:170-173
         )
 
     def decoder_vit_config(self) -> ViTConfig:
@@ -104,6 +108,7 @@ class MAEConfig:
             base_keep_rate=1.0,
             drop_path_rate=0.0,
             compute_dtype=self.compute_dtype,
+            dense_init="xavier_uniform",  # models_mae.py:170-173
         )
 
 
@@ -170,7 +175,7 @@ class WindowAttentionV2(nn.Module):
         h = self.num_heads
         wh, ww = self.window
         assert n == wh * ww
-        qkv = nn.Dense(3 * c, name="qkv", kernel_init=_trunc02)(x)
+        qkv = nn.Dense(3 * c, name="qkv", kernel_init=_xavier)(x)
         qkv = qkv.reshape(b, n, 3, h, c // h).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
@@ -192,10 +197,10 @@ class WindowAttentionV2(nn.Module):
 
         rel_log = jnp.asarray(_relative_coordinates_log(self.window))
         bias = nn.Dense(
-            self.meta_hidden_dim, name="meta_fc1", kernel_init=_trunc02
+            self.meta_hidden_dim, name="meta_fc1", kernel_init=_xavier
         )(rel_log)
         bias = nn.relu(bias)
-        bias = nn.Dense(h, name="meta_fc2", kernel_init=_trunc02)(bias)
+        bias = nn.Dense(h, name="meta_fc2", kernel_init=_xavier)(bias)
         bias = bias.transpose(1, 0).reshape(h, n, n)
         logits = logits + bias[None]
 
@@ -208,7 +213,7 @@ class WindowAttentionV2(nn.Module):
         p = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        return nn.Dense(c, name="proj", kernel_init=_trunc02)(out)
+        return nn.Dense(c, name="proj", kernel_init=_xavier)(out)
 
 
 class SwinBlock(nn.Module):
@@ -251,7 +256,8 @@ class SwinBlock(nn.Module):
             h = jnp.roll(h, shift=(st, sf), axis=(1, 2))
         x = x + nn.LayerNorm(epsilon=1e-6, name="norm1")(h.reshape(b, l, d))
 
-        h = Mlp(int(d * self.mlp_ratio), d, 0.0, jnp.float32, name="mlp")(x)
+        h = Mlp(int(d * self.mlp_ratio), d, 0.0, jnp.float32,
+                kernel_init=_xavier, name="mlp")(x)
         return x + nn.LayerNorm(epsilon=1e-6, name="norm2")(h)
 
 
@@ -266,7 +272,7 @@ class MaskedAutoencoderViT(nn.Module):
         p = cfg.num_patches
 
         self.patch_embed = PatchEmbed(enc_cfg)
-        self.cls_token = self.param("cls_token", _trunc02, (1, 1, d))
+        self.cls_token = self.param("cls_token", _normal02, (1, 1, d))
         pos = pe.sincos_2d(d, cfg.grid, cls_token=True)[None].astype(np.float32)
         self.pos_embed = self.param(
             "pos_embed", lambda rng, shape: jnp.asarray(pos), (1, p + 1, d)
@@ -277,8 +283,8 @@ class MaskedAutoencoderViT(nn.Module):
         ]
         self.norm = nn.LayerNorm(epsilon=1e-6)
 
-        self.decoder_embed = nn.Dense(dd, kernel_init=_trunc02)
-        self.mask_token = self.param("mask_token", _trunc02, (1, 1, dd))
+        self.decoder_embed = nn.Dense(dd, kernel_init=_xavier)
+        self.mask_token = self.param("mask_token", _normal02, (1, 1, dd))
         dpos = pe.sincos_2d(dd, cfg.grid, cls_token=True)[None].astype(np.float32)
         self.decoder_pos_embed = self.param(
             "decoder_pos_embed", lambda rng, shape: jnp.asarray(dpos),
@@ -305,7 +311,7 @@ class MaskedAutoencoderViT(nn.Module):
             ]
         self.decoder_norm = nn.LayerNorm(epsilon=1e-6)
         self.decoder_pred = nn.Dense(
-            cfg.patch_size ** 2, kernel_init=_trunc02
+            cfg.patch_size ** 2, kernel_init=_xavier
         )
 
     # -- patch math ------------------------------------------------------
@@ -423,7 +429,8 @@ class MaskedAutoencoderViT(nn.Module):
         target = self.patchify(imgs)
         if self.cfg.norm_pix_loss:
             mean = target.mean(axis=-1, keepdims=True)
-            var = target.var(axis=-1, keepdims=True)
+            # torch Tensor.var default is the unbiased estimator (ddof=1)
+            var = target.var(axis=-1, keepdims=True, ddof=1)
             target = (target - mean) / jnp.sqrt(var + 1e-6)
         per_patch = jnp.mean((pred - target) ** 2, axis=-1)
         return jnp.sum(per_patch * mask) / jnp.maximum(jnp.sum(mask), 1.0)
@@ -441,7 +448,10 @@ class MaskedAutoencoderViT(nn.Module):
 
 
 def mae_vit_base_dec512d8b(**kw) -> MAEConfig:
-    """models_mae.py:134-139 factory geometry."""
-    kw.setdefault("decoder_depth", 8)
+    """models_mae.py:438-442 factory geometry.  NOTE the reference factory
+    name says d8b but does NOT pass decoder_depth, so the class default 16
+    (models_mae.py:30) applies — replicated here (checkpoint-shape
+    fidelity beats the vestigial name)."""
+    kw.setdefault("decoder_depth", 16)
     return MAEConfig(embed_dim=768, depth=12, num_heads=12,
                      decoder_embed_dim=512, decoder_num_heads=16, **kw)

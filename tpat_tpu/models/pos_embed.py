@@ -75,24 +75,59 @@ def crop_time_audio_pos_embed(
     return np.concatenate([extras, patches], axis=1)
 
 
+
+def _bicubic_resize_torch(
+    grid: np.ndarray, out_hw: Tuple[int, int]
+) -> np.ndarray:
+    """(H, W, D) -> (out_h, out_w, D) replicating torch
+    ``F.interpolate(mode='bicubic', align_corners=False)`` exactly:
+    src = (dst + 0.5) * in/out - 0.5, separable 4-tap Keys cubic with
+    A = -0.75, edge-clamped taps, no antialiasing.  (jax.image.resize uses
+    A = -0.5 and antialiases on downscale, so its output diverges from the
+    reference surgery at util/pos_embed.py:93-137.)"""
+    a = -0.75
+
+    def axis_weights(n_in, n_out):
+        dst = np.arange(n_out, dtype=np.float64)
+        src = (dst + 0.5) * (n_in / n_out) - 0.5
+        x1 = np.floor(src)
+        t = src - x1
+
+        def cc1(x):  # |x| <= 1
+            return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+
+        def cc2(x):  # 1 < |x| < 2
+            return ((a * x - 5.0 * a) * x + 8.0 * a) * x - 4.0 * a
+
+        w = np.stack([cc2(t + 1.0), cc1(t), cc1(1.0 - t), cc2(2.0 - t)], 1)
+        idx = np.stack([x1 - 1, x1, x1 + 1, x1 + 2], 1).astype(np.int64)
+        return w, np.clip(idx, 0, n_in - 1)
+
+    h, w, _d = grid.shape
+    oh, ow = out_hw
+    wy, iy = axis_weights(h, oh)
+    wx, ix = axis_weights(w, ow)
+    g = grid.astype(np.float64)
+    rows = (g[iy] * wy[:, :, None, None]).sum(axis=1)  # (oh, W, D)
+    out = (rows[:, ix] * wx[None, :, :, None]).sum(axis=2)  # (oh, ow, D)
+    return out.astype(grid.dtype)
+
+
 def interpolate_square_pos_embed(
     pos_embed: np.ndarray, new_size: int, num_extra_tokens: int = 1
 ) -> np.ndarray:
     """Square bicubic pos-embed interpolation — ``interpolate_pos_embed``
     (``util/pos_embed.py:93-114``): for image-pretrained checkpoints whose
-    grid side differs from the target."""
-    import jax
-
+    grid side differs from the target.  torch-bicubic (A=-0.75, no
+    antialias), not jax.image.resize."""
     d = pos_embed.shape[-1]
     n = pos_embed.shape[1] - num_extra_tokens
     orig = int(n ** 0.5)
     if orig == new_size:
         return pos_embed
     extras = pos_embed[:, :num_extra_tokens]
-    grid = pos_embed[:, num_extra_tokens:].reshape(1, orig, orig, d)
-    grid = np.asarray(
-        jax.image.resize(grid, (1, new_size, new_size, d), method="bicubic")
-    )
+    grid = pos_embed[:, num_extra_tokens:].reshape(orig, orig, d)
+    grid = _bicubic_resize_torch(grid, (new_size, new_size))
     return np.concatenate(
         [extras, grid.reshape(1, new_size * new_size, d)], axis=1
     )
@@ -106,19 +141,15 @@ def interpolate_img2audio_pos_embed(
 ) -> np.ndarray:
     """Rectangular bicubic interpolation — ``interpolate_pos_embed_
     img2audio`` (``util/pos_embed.py:116-137``): adapt an image grid (e.g.
-    14x14) to an audio grid (e.g. 8x64)."""
-    import jax
-
+    14x14) to an audio grid (e.g. 8x64).  torch-bicubic semantics."""
     if orig_size == new_size:
         return pos_embed
     d = pos_embed.shape[-1]
     extras = pos_embed[:, :num_extra_tokens]
     grid = pos_embed[:, num_extra_tokens:].reshape(
-        1, orig_size[0], orig_size[1], d
+        orig_size[0], orig_size[1], d
     )
-    grid = np.asarray(
-        jax.image.resize(grid, (1, new_size[0], new_size[1], d), method="bicubic")
-    )
+    grid = _bicubic_resize_torch(grid, new_size)
     return np.concatenate(
         [extras, grid.reshape(1, new_size[0] * new_size[1], d)], axis=1
     )

@@ -46,6 +46,24 @@ Array = jnp.ndarray
 _trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
 
+def _kinit(cfg):
+    """Dense kernel init per ViTConfig.dense_init: timm trunc-normal for the
+    finetune trunk, xavier_uniform for MAE pretraining-from-scratch
+    (models_mae.py:170-173)."""
+    if cfg.dense_init == "xavier_uniform":
+        return nn.initializers.xavier_uniform()
+    return _trunc02
+
+
+def _conv_flat_xavier(rng, shape, dtype=jnp.float32):
+    """torch xavier_uniform_ on the (O, I*kh*kw)-flattened conv weight
+    (models_mae.py:159-161): bound = sqrt(6 / (I*kh*kw + O)), which differs
+    from flax's conv xavier (fan_out would be O*kh*kw)."""
+    kh, kw, i, o = shape
+    bound = float(np.sqrt(6.0 / (kh * kw * i + o)))
+    return jax.random.uniform(rng, shape, dtype, -bound, bound)
+
+
 def _dtype(cfg: ViTConfig):
     return jnp.dtype(cfg.compute_dtype)
 
@@ -71,15 +89,16 @@ class Mlp(nn.Module):
     out_dim: int
     drop_rate: float
     dtype: Any
+    kernel_init: Any = _trunc02
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1",
-                     kernel_init=_trunc02)(x)
+                     kernel_init=self.kernel_init)(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2",
-                     kernel_init=_trunc02)(x)
+                     kernel_init=self.kernel_init)(x)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         return x
 
@@ -138,7 +157,7 @@ class PrunedAttention(nn.Module):
         dh = c // h
         qkv = nn.Dense(
             3 * c, use_bias=cfg.qkv_bias, dtype=_dtype(cfg), name="qkv",
-            kernel_init=_trunc02,
+            kernel_init=_kinit(cfg),
         )(x)
 
         from tpat_tpu.ops.pallas_attention import (
@@ -172,7 +191,7 @@ class PrunedAttention(nn.Module):
             # score path: attn_drop_rate == 0.0 in every reference config.
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(c, dtype=_dtype(cfg), name="proj",
-                       kernel_init=_trunc02)(out)
+                       kernel_init=_kinit(cfg))(out)
         out = nn.Dropout(cfg.drop_rate)(out, deterministic=deterministic)
         return out, scores
 
@@ -200,6 +219,7 @@ class Block(nn.Module):
             out_dim=cfg.embed_dim,
             drop_rate=cfg.drop_rate,
             dtype=_dtype(cfg),
+            kernel_init=_kinit(cfg),
         )
 
     def _residual(self, x, branch, deterministic):
@@ -274,10 +294,13 @@ class Block(nn.Module):
         token_mask: Array,
         *,
         keep_rate: Optional[Array],
+        num_left: Optional[Array] = None,
         deterministic: bool = True,
     ) -> Tuple[Array, Array]:
         """Masked (anneal) path.  keep_rate is a traced scalar in (0, 1]
-        or None for a non-pruning block; shapes stay full.
+        or None for a non-pruning block; shapes stay full.  ``num_left``
+        optionally overrides the in-graph f32 ceil with a host-computed
+        exact kept count (engine/schedules.masked_kept_counts).
 
         Returns (x, refined token_mask).
         """
@@ -292,8 +315,9 @@ class Block(nn.Module):
         x = self._residual(x, attn_out, deterministic)
 
         if keep_rate is not None:
-            kept = jnp.sum(token_mask.astype(jnp.int32), axis=1)  # (B,)
-            num_left = pruning.masked_num_left(keep_rate, kept)
+            if num_left is None:
+                kept = jnp.sum(token_mask.astype(jnp.int32), axis=1)  # (B,)
+                num_left = pruning.masked_num_left(keep_rate, kept)
             token_mask = pruning.masked_refine(scores, token_mask, num_left)
 
         x = self._residual(x, self.mlp(self.norm2(x), deterministic), deterministic)
@@ -318,6 +342,11 @@ class PatchEmbed(nn.Module):
             padding="VALID",
             dtype=_dtype(cfg),
             name="proj",
+            **(
+                {"kernel_init": _conv_flat_xavier}
+                if cfg.dense_init == "xavier_uniform"
+                else {}
+            ),
         )(x)
         b, gh, gw, d = x.shape
         return x.reshape(b, gh * gw, d)
@@ -361,9 +390,12 @@ class AudioViT(nn.Module):
             # finetune driver freezes pos_embed (main_finetune.py:382) and
             # the pretrained checkpoint overwrites it; sin-cos is the
             # correct cold-start value (models_mae.py:143-156).
-            init = pe.sincos_2d(
-                d, (cfg.grid_t, cfg.grid_f), cls_token=True
-            )[None].astype(np.float32)
+            grid_pos = pe.sincos_2d(
+                d, (cfg.grid_t, cfg.grid_f), cls_token=False
+            ).astype(np.float32)
+            init = np.concatenate(
+                [np.zeros((cfg.num_extra_tokens, d), np.float32), grid_pos]
+            )[None]  # one zero row per extra token, not a hardcoded single
             self.pos_embed = self.param(
                 "pos_embed", lambda rng, shape: jnp.asarray(init), (1, n_pos, d)
             )
@@ -426,7 +458,6 @@ class AudioViT(nn.Module):
         pos = self.pos_embed.astype(tokens.dtype)
         if cfg.frozen_pos_embed:
             pos = jax.lax.stop_gradient(pos)
-        e = cfg.num_extra_tokens
         if cfg.num_extra_tokens == 1:
             extras = jnp.broadcast_to(
                 self.cls_token.astype(tokens.dtype), (b, 1, tokens.shape[-1])
@@ -584,6 +615,7 @@ class AudioViT(nn.Module):
         x: Array,
         keep_rate_array: Array,
         *,
+        num_left_array: Optional[Array] = None,
         intensity_band: Optional[Tuple[Array, Array, int]] = None,
         deterministic: bool = True,
     ):
@@ -594,6 +626,13 @@ class AudioViT(nn.Module):
         config).  Shapes stay (B, N_full) throughout, so the cosine anneal
         runs under one compilation.
 
+        num_left_array: optional (depth,) int array of exact kept counts
+        (engine/schedules.masked_kept_counts) — composed on the host in
+        double so the pruning widths match the static path bit-for-bit;
+        the in-graph f32 ceil can differ at integer boundaries.  Mutually
+        exclusive with intensity_band (the band changes kept counts
+        mid-network, invalidating precomposed values).
+
         intensity_band: optional (retain_min, retain_max, block_idx) for the
         intensity-band ablation (``models_vit.py:353-385``): after
         ``block_idx``, only tokens whose per-patch mel mean lies inside the
@@ -602,6 +641,7 @@ class AudioViT(nn.Module):
         """
         cfg = self.cfg
         b = x.shape[0]
+        assert not (num_left_array is not None and intensity_band is not None)
 
         band_mask = None
         band_blk = -1
@@ -615,8 +655,14 @@ class AudioViT(nn.Module):
 
         for i, blk in enumerate(self.blocks):
             kr = keep_rate_array[i] if i in cfg.drop_loc else None
+            nl = (
+                num_left_array[i]
+                if (num_left_array is not None and i in cfg.drop_loc)
+                else None
+            )
             tokens, token_mask = blk.masked_call(
-                tokens, token_mask, keep_rate=kr, deterministic=deterministic
+                tokens, token_mask, keep_rate=kr, num_left=nl,
+                deterministic=deterministic,
             )
             if band_mask is not None and i == band_blk:
                 token_mask = jnp.logical_and(token_mask, band_mask)

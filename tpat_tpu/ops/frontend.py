@@ -43,16 +43,22 @@ class FrontendConfig:
 
 
 def _spec_masking_device(mel, freqm, timem, rng):
-    """SpecAug with traced widths/starts (static shapes): width ~ U[0,
-    param), start ~ U[0, size - width); zero fill."""
+    """SpecAug with traced widths/starts (static shapes), matching
+    torchaudio ``_mask_along_axis`` exactly: draw continuous value ~
+    U[0, param) and min ~ U[0, size - value), then mask the integer band
+    [floor(min), floor(min + value)) — both endpoints floored via
+    ``.long()`` in torchaudio, so the masked-bin distribution matches the
+    host pipeline (dataset.py:290-297)."""
     b, t, f = mel.shape
     r1, r2, r3, r4 = jax.random.split(rng, 4)
 
     def band_mask(size, param, rw, rs, batch):
         width = jax.random.uniform(rw, (batch,)) * param
         start = jax.random.uniform(rs, (batch,)) * (size - width)
+        lo = jnp.floor(start)
+        hi = jnp.floor(start + width)
         idx = jnp.arange(size, dtype=jnp.float32)[None, :]
-        inside = (idx >= start[:, None]) & (idx < (start + width)[:, None])
+        inside = (idx >= lo[:, None]) & (idx < hi[:, None])
         return ~inside  # True where kept
 
     if freqm > 0:
