@@ -57,3 +57,24 @@ def test_device_train_augs(waves):
     masked_value = (0.0 - cfg.norm_mean) / (2 * cfg.norm_std)
     frac = np.isclose(out1, masked_value).mean()
     assert frac < 0.6  # masks are bands, not everything
+
+
+def test_device_spec_masking_floor_semantics():
+    """The device SpecAug band width is exactly floor(value) bins —
+    torchaudio computes mask_end = min.long() + value.long(), so with
+    param=2 the band is 0 or 1 bins wide, never 2 (floor(min + value)
+    would mask 2 bins whenever the fractional parts sum past 1)."""
+    from tpat_tpu.ops.frontend import _spec_masking_device
+
+    mel = jnp.ones((8, 16, 16))
+    widths = set()
+    for seed in range(40):
+        out = np.asarray(
+            _spec_masking_device(mel, 2, 0, jax.random.PRNGKey(seed))
+        )
+        # per-sample count of fully-zeroed freq columns
+        for b in range(out.shape[0]):
+            zero_cols = int((out[b] == 0.0).all(axis=0).sum())
+            widths.add(zero_cols)
+            assert zero_cols <= 1, zero_cols
+    assert widths == {0, 1}  # both outcomes occur across draws

@@ -324,3 +324,71 @@ def test_norm_pix_loss_unbiased_var(rng):
     tn = (t - mean) / np.sqrt(var + 1e-6)
     want = float((tn ** 2).mean(-1).mean())
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_mae_pos_embeds_frozen(rng):
+    """The sin-cos pos embeds carry zero gradient (models_mae.py:55,69:
+    requires_grad=pos_trainable, default False) while real params don't."""
+    cfg = tiny_mae(1)
+    model = MaskedAutoencoderViT(cfg)
+    imgs = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        imgs, 0.75,
+    )["params"]
+
+    def loss_fn(p):
+        loss, _, _ = model.apply(
+            {"params": p}, imgs, 0.75,
+            rngs={"masking": jax.random.PRNGKey(2)},
+        )
+        return loss
+
+    grads = jax.grad(loss_fn)(params)
+    np.testing.assert_array_equal(np.asarray(grads["pos_embed"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(grads["decoder_pos_embed"]), 0.0)
+    assert float(np.abs(np.asarray(grads["cls_token"])).max()) > 0.0
+
+    import dataclasses
+
+    cfg_t = dataclasses.replace(cfg, pos_trainable=True)
+    model_t = MaskedAutoencoderViT(cfg_t)
+    grads_t = jax.grad(
+        lambda p: model_t.apply(
+            {"params": p}, imgs, 0.75,
+            rngs={"masking": jax.random.PRNGKey(2)},
+        )[0]
+    )(params)
+    assert float(np.abs(np.asarray(grads_t["pos_embed"])).max()) > 0.0
+
+
+def test_mae_meta_mlp_dropout(rng):
+    """The swin decoder's meta-MLP hidden dropout (timm drop=(0.125, 0.))
+    is active under deterministic=False (stochastic across dropout rngs)
+    and absent by default (deterministic eval)."""
+    cfg = tiny_mae(1)
+    model = MaskedAutoencoderViT(cfg)
+    imgs = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        imgs, 0.75,
+    )["params"]
+    mask_rng = jax.random.PRNGKey(7)
+
+    def run(drop_key=None):
+        rngs = {"masking": mask_rng}
+        kw = {}
+        if drop_key is not None:
+            rngs["dropout"] = drop_key
+            kw["deterministic"] = False
+        loss, _, _ = model.apply(
+            {"params": params}, imgs, 0.75, rngs=rngs, **kw
+        )
+        return float(loss)
+
+    # deterministic (default): reproducible, no dropout rng required
+    assert run() == run()
+    # training mode: different dropout keys -> different losses
+    a = run(jax.random.PRNGKey(3))
+    b = run(jax.random.PRNGKey(4))
+    assert a != b

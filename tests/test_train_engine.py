@@ -157,10 +157,12 @@ def test_nan_abort_via_device_flag():
 def test_bucket_keep_rates():
     from tpat_tpu.engine.schedules import bucket_keep_rates, scheduled_keep_rates
 
-    # levels for base 0.7, 4 buckets: 0.7, 0.8, 0.9, 1.0
+    # levels for base 0.7, 4 buckets: ~0.7, ~0.8, ~0.9, 1.0 — emitted as
+    # the exact float level values (no decimal rounding; see below)
+    lv = [0.7 + (1.0 - 0.7) * i / 3 for i in range(4)]
     assert bucket_keep_rates(
         (1.0, 0.95, 0.85, 0.71, 0.7), base_keep_rate=0.7, n_buckets=4
-    ) == (1.0, 1.0, 0.9, 0.8, 0.7)
+    ) == (1.0, 1.0, lv[2], lv[1], 0.7)
     # bucketed rate is always >= the scheduled rate (STRICT snap-up: the
     # kept-token count ceil(rate*P) must never fall below the schedule's,
     # for any patch count), and monotone over the anneal (never re-grows)
@@ -185,10 +187,17 @@ def test_bucket_keep_rates():
     # the cosine tail (0.7005...) rides one level above base — the base
     # bucket itself is reached only at an exact hit; the static phase
     # takes over at base right after the shrink window
-    assert prev[1] == 0.8
+    assert prev[1] == lv[1]
     # boundary values snap UP, never down (the old 1e-3 tolerance kept
     # one token fewer than the schedule at every bucket boundary)
-    assert bucket_keep_rates((0.8009,), base_keep_rate=0.7, n_buckets=4) == (0.9,)
+    assert bucket_keep_rates((0.8009,), base_keep_rate=0.7, n_buckets=4) == (lv[2],)
+    # levels are emitted VERBATIM (no decimal rounding): the base bucket
+    # must compare == cfg.base_keep_rate even for rates like 1/3 so it
+    # shares the post-shrink static step's compile-cache key (train.py)
+    base = 1.0 / 3.0
+    assert bucket_keep_rates((base,), base_keep_rate=base, n_buckets=4) == (base,)
+    lv1 = base + (1.0 - base) / 3.0
+    assert bucket_keep_rates((base + 1e-5,), base_keep_rate=base, n_buckets=4) == (lv1,)
 
 
 def test_bucketed_anneal_rejects_custom_rank():

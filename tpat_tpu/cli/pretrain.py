@@ -131,11 +131,23 @@ def main(args):
             warmup_epochs=args.warmup_epochs, total_epochs=args.epochs,
         )
 
+    def decay_mask_fn(path, p):
+        # ndim > 1 (MAE add_weight_decay semantics), minus the frozen
+        # sin-cos pos embeds (requires_grad=False params never join the
+        # torch param groups, models_mae.py:55,69): their gradient is
+        # stopped in the forward, so decaying them would silently drift
+        # the fixed tables.
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        frozen = (not cfg.pos_trainable) and name in (
+            "pos_embed", "decoder_pos_embed"
+        )
+        return p.ndim > 1 and not frozen
+
     tx = optax.chain(
         optax.scale_by_adam(b1=0.9, b2=0.95),
         optax.add_decayed_weights(
             args.weight_decay,
-            mask=jax.tree_util.tree_map(lambda p: p.ndim > 1, params),
+            mask=jax.tree_util.tree_map_with_path(decay_mask_fn, params),
         ),
         optax.scale_by_schedule(lambda s: -lr_fn(s)),
     )
@@ -158,12 +170,17 @@ def main(args):
     rep = mesh_lib.replicated_sharding(mesh)
     params, opt_state = jax.device_put((params, opt_state), rep)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, opt_state, loss_sum, rng, step, x):
         def loss_fn(p):
+            r = jax.random.fold_in(rng, step)
+            r_mask, r_drop = jax.random.split(r)
             loss, _, _ = model.apply(
                 {"params": p}, x, args.mask_ratio,
-                rngs={"masking": jax.random.fold_in(rng, step)},
+                deterministic=False,  # swin decoder meta-MLP dropout 0.125
+                rngs={"masking": r_mask, "dropout": r_drop},
             )
             return loss
 

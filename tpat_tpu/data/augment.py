@@ -6,8 +6,9 @@
 - waveform mixup with lambda ~ Beta(10,10) building soft labels
   (``dataset.py:254-274``)
 - SpecAug frequency/time masking applied BEFORE normalization, masking
-  with zeros (``dataset.py:289-297``), torchaudio semantics: mask width
-  ~ U[0, param), start ~ U[0, size - width)
+  with zeros (``dataset.py:289-297``), torchaudio semantics: continuous
+  value ~ U[0, param), min ~ U[0, size - value), band = [int(min),
+  int(min) + int(value))
 - additive noise + random time roll for SPC-2/VoxCeleb
   (``dataset.py:299-301``)
 """
@@ -54,20 +55,28 @@ def spec_masking(
     rng: np.random.Generator,
     mask_value: float = 0.0,
 ) -> np.ndarray:
-    """SpecAug on a (T, F) fbank (torchaudio FrequencyMasking/TimeMasking
-    semantics: width ~ U[0, param), start uniform; one mask each)."""
+    """SpecAug on a (T, F) fbank (torchaudio ``_mask_along_axis``
+    semantics, one mask each): draw continuous value ~ U[0, param) and
+    min ~ U[0, size - value), then mask [int(min), int(min) + int(value))
+    — start and width floored separately, exactly as torchaudio's
+    ``min_value.long() + value.long()``."""
     fbank = fbank.copy()
     t, f = fbank.shape
+
+    def band(size, param):
+        value = rng.uniform(0.0, param)
+        if value >= size:
+            return 0, 0
+        min_v = rng.uniform(0.0, size - value)
+        start = int(min_v)
+        return start, start + int(value)
+
     if freqm > 0:
-        width = int(rng.uniform(0.0, freqm))
-        if width > 0 and width < f:
-            start = int(rng.uniform(0.0, f - width))
-            fbank[:, start : start + width] = mask_value
+        s, e = band(f, freqm)
+        fbank[:, s:e] = mask_value
     if timem > 0:
-        width = int(rng.uniform(0.0, timem))
-        if width > 0 and width < t:
-            start = int(rng.uniform(0.0, t - width))
-            fbank[start : start + width, :] = mask_value
+        s, e = band(t, timem)
+        fbank[s:e, :] = mask_value
     return fbank
 
 

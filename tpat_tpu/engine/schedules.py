@@ -83,8 +83,13 @@ def bucket_keep_rates(
         # bucket boundary.  The cosine tail (e.g. 0.7005) therefore rides
         # one level above base until the static phase takes over — that
         # costs a little speedup at the tail, never correctness.
+        # No rounding: the level values are used verbatim so the base
+        # bucket compares equal (==) to cfg.base_keep_rate and shares the
+        # post-shrink static step's compile-cache key (train.py); rounding
+        # to 6 decimals broke that for rates like 1/3 and could nudge a
+        # level below its true snap-up value.
         snapped = next((lv for lv in levels if lv >= r - 1e-9), max_keep_rate)
-        out.append(round(snapped, 6))
+        out.append(snapped)
     return tuple(out)
 
 

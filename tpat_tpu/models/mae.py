@@ -68,6 +68,11 @@ class MAEConfig:
     mask_t_prob: float = 0.7
     mask_f_prob: float = 0.3
     compute_dtype: str = "float32"
+    # models_mae.py:33,55,69 — the sin-cos pos embeds are nn.Parameters
+    # with requires_grad=pos_trainable, default False: frozen throughout
+    # pretraining (gradient stopped in the forward; the driver also
+    # excludes them from weight decay).
+    pos_trainable: bool = False
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -160,8 +165,9 @@ class WindowAttentionV2(nn.Module):
     ``models_mae.py:93-106``): scaled-cosine attention with a clamped learned
     per-head ``logit_scale`` (init log 10, clamp max log 100) and a continuous
     relative-position bias from a 2-layer ReLU meta-MLP over log-spaced
-    coordinates.  The meta-MLP's train-time dropout (0.125) is omitted — the
-    decoder is evaluated deterministically here."""
+    coordinates, including timm's hard-coded meta-MLP hidden dropout
+    ``drop=(0.125, 0.)`` (active while training — the pretrain driver runs
+    with ``deterministic=False``)."""
 
     dim: int
     num_heads: int
@@ -169,7 +175,10 @@ class WindowAttentionV2(nn.Module):
     meta_hidden_dim: int = 384
 
     @nn.compact
-    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+    def __call__(
+        self, x: Array, mask: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
         # x: (num_windows*B, tokens, dim); mask: (num_windows, tokens, tokens)
         b, n, c = x.shape
         h = self.num_heads
@@ -200,6 +209,8 @@ class WindowAttentionV2(nn.Module):
             self.meta_hidden_dim, name="meta_fc1", kernel_init=_xavier
         )(rel_log)
         bias = nn.relu(bias)
+        # timm meta_mlp drop=(0.125, 0.): dropout on the hidden activation
+        bias = nn.Dropout(0.125)(bias, deterministic=deterministic)
         bias = nn.Dense(h, name="meta_fc2", kernel_init=_xavier)(bias)
         bias = bias.transpose(1, 0).reshape(h, n, n)
         logits = logits + bias[None]
@@ -231,7 +242,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
         # x: (B, T*F, D)
         b, l, d = x.shape
         t, f = self.feat_size
@@ -247,7 +258,8 @@ class SwinBlock(nn.Module):
         h = h.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww, d)
         mask = _shift_attn_mask(self.feat_size, self.window, self.shift)
         h = WindowAttentionV2(d, self.num_heads, self.window, name="attn")(
-            h, None if mask is None else jnp.asarray(mask)
+            h, None if mask is None else jnp.asarray(mask),
+            deterministic=deterministic,
         )
         # reverse
         h = h.reshape(b, t // wh, f // ww, wh, ww, d)
@@ -382,17 +394,23 @@ class MaskedAutoencoderViT(nn.Module):
 
     # -- forward ---------------------------------------------------------
 
+    def _pos(self, table: Array) -> Array:
+        """Pos-embed table with gradient stopped unless ``pos_trainable``
+        (models_mae.py:55,69 requires_grad=pos_trainable, default False)."""
+        return table if self.cfg.pos_trainable else jax.lax.stop_gradient(table)
+
     def forward_encoder(self, x, mask_ratio, rng, mask_2d=False):
         cfg = self.cfg
+        pos = self._pos(self.pos_embed)
         x = self.patch_embed(x)
-        x = x + self.pos_embed[:, 1:, :]
+        x = x + pos[:, 1:, :]
         if mask_2d:
             x, mask, ids_restore = self.random_masking_2d(
                 x, cfg.mask_t_prob, cfg.mask_f_prob, rng
             )
         else:
             x, mask, ids_restore = self.random_masking(x, mask_ratio, rng)
-        cls = self.cls_token + self.pos_embed[:, :1, :]
+        cls = self.cls_token + pos[:, :1, :]
         cls = jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[-1]))
         x = jnp.concatenate([cls, x], axis=1)
         for blk in self.blocks:
@@ -400,7 +418,7 @@ class MaskedAutoencoderViT(nn.Module):
         x = self.norm(x)
         return x, mask, ids_restore
 
-    def forward_decoder(self, x, ids_restore):
+    def forward_decoder(self, x, ids_restore, deterministic: bool = True):
         cfg = self.cfg
         x = self.decoder_embed(x)
         b = x.shape[0]
@@ -411,12 +429,12 @@ class MaskedAutoencoderViT(nn.Module):
         x_ = jnp.concatenate([x[:, 1:, :], mask_tokens], axis=1)
         x_ = jnp.take_along_axis(x_, ids_restore[..., None], axis=1)
         x = jnp.concatenate([x[:, :1, :], x_], axis=1)
-        x = x + self.decoder_pos_embed
+        x = x + self._pos(self.decoder_pos_embed)
 
         if cfg.decoder_mode == 1:
             x = x[:, 1:, :]  # swin decoder drops cls (models_mae.py:370-373)
             for blk in self.decoder_blocks:
-                x = blk(x)
+                x = blk(x, deterministic=deterministic)
             x = self.decoder_norm(x)
             return self.decoder_pred(x)
         for blk in self.decoder_blocks:
@@ -435,14 +453,17 @@ class MaskedAutoencoderViT(nn.Module):
         per_patch = jnp.mean((pred - target) ** 2, axis=-1)
         return jnp.sum(per_patch * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
-    def __call__(self, imgs, mask_ratio: float = 0.8, *, mask_2d=None, rng=None):
+    def __call__(
+        self, imgs, mask_ratio: float = 0.8, *, mask_2d=None, rng=None,
+        deterministic: bool = True,
+    ):
         if rng is None:
             rng = self.make_rng("masking")
         mask_2d = self.cfg.mask_2d if mask_2d is None else mask_2d
         latent, mask, ids_restore = self.forward_encoder(
             imgs, mask_ratio, rng, mask_2d=mask_2d
         )
-        pred = self.forward_decoder(latent, ids_restore)
+        pred = self.forward_decoder(latent, ids_restore, deterministic)
         loss = self.loss(imgs, pred, mask)
         return loss, pred, mask
 

@@ -46,9 +46,11 @@ def _spec_masking_device(mel, freqm, timem, rng):
     """SpecAug with traced widths/starts (static shapes), matching
     torchaudio ``_mask_along_axis`` exactly: draw continuous value ~
     U[0, param) and min ~ U[0, size - value), then mask the integer band
-    [floor(min), floor(min + value)) — both endpoints floored via
-    ``.long()`` in torchaudio, so the masked-bin distribution matches the
-    host pipeline (dataset.py:290-297)."""
+    [floor(min), floor(min) + floor(value)) — torchaudio computes
+    ``mask_end = min_value.long() + value.long()``, i.e. start and WIDTH
+    are floored separately (floor(min + value) would mask one extra bin
+    whenever the fractional parts sum past 1), so the masked-bin
+    distribution matches the host pipeline (dataset.py:290-297)."""
     b, t, f = mel.shape
     r1, r2, r3, r4 = jax.random.split(rng, 4)
 
@@ -56,7 +58,7 @@ def _spec_masking_device(mel, freqm, timem, rng):
         width = jax.random.uniform(rw, (batch,)) * param
         start = jax.random.uniform(rs, (batch,)) * (size - width)
         lo = jnp.floor(start)
-        hi = jnp.floor(start + width)
+        hi = lo + jnp.floor(width)
         idx = jnp.arange(size, dtype=jnp.float32)[None, :]
         inside = (idx >= lo[:, None]) & (idx < hi[:, None])
         return ~inside  # True where kept
