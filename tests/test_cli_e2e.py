@@ -240,3 +240,68 @@ def test_pretrain_cli_smoke_resume_and_export(corpus, tmp_path):
     params = mae_params_from_state_dict(sd)
     assert "decoder_blocks_0" in params
     assert "logit_scale" in params["decoder_blocks_0"]["attn"]
+
+
+def test_pretrain_to_finetune_chain(corpus, tmp_path):
+    """The complete AudioMAE workflow the reference documents but cannot
+    run (run_pretrain.sh -> ft_*.sh): pretrain an MAE, export the
+    reference-layout .pth, then finetune FROM it at a shorter
+    target_length — exercising the pos-embed time-crop surgery
+    (main_finetune.py:384-426) on our own pretraining artifact."""
+    from tpat_tpu.cli import finetune as ft
+    from tpat_tpu.cli import pretrain as pt
+
+    pre = tmp_path / "pre"
+    pt.main(pt.get_args_parser().parse_args([
+        "--dataset", "esc50", "--model", "mae_vit_tiny",
+        "--target_length", "128",
+        "--data_train", str(corpus / "train.json"),
+        "--label_csv", str(corpus / "labels.csv"),
+        "--batch_size", "8", "--epochs", "1", "--warmup_epochs", "1",
+        "--save_every_epochs", "1", "--num_workers", "2",
+        "--output_dir", str(pre),
+    ]))
+    pth = pre / "mae_pretrained.pth"
+    assert pth.exists()
+
+    out = tmp_path / "ft"
+    ft.main(ft.get_args_parser().parse_args([
+        "--dataset", "esc50", "--model", "audiomae_vit_tiny",
+        "--target_length", "64",  # pretrained at 128: grid (8,8)->(8,4) crop
+        "--audioset_pretrained_model_path", str(pth),
+        "--data_train", str(corpus / "train.json"),
+        "--data_eval", str(corpus / "eval.json"),
+        "--label_csv", str(corpus / "labels.csv"),
+        "--nb_classes", "4", "--batch_size", "8", "--epochs", "1",
+        "--blr", "2e-3", "--warmup_epochs", "1",
+        "--base_keep_rate", "0.6", "--drop_loc", "(1, 3)",
+        "--shrink_start_epoch", "2", "--shrink_epochs", "1",
+        "--output_dir", str(out),
+        "--result_path", str(tmp_path / "chain_result.txt"),
+        "--num_workers", "2",
+    ]))
+    logs = [json.loads(l) for l in open(out / "log.txt")]
+    assert len(logs) == 1 and np.isfinite(logs[0]["train_loss"])
+
+    # the pretrained encoder actually landed: the finetuned best_model's
+    # patch-embed conv started from (and for frozen pos-embed, equals) the
+    # exported one after the crop surgery
+    import jax
+
+    from tpat_tpu.utils import checkpoint as ckpt_lib
+    from tpat_tpu.utils.torch_import import load_torch_state_dict
+
+    from tpat_tpu.models import pos_embed as pe
+
+    sd = load_torch_state_dict(str(pth))
+    restored = ckpt_lib.restore_checkpoint(str(out / "best_model"))
+    pos = np.asarray(restored["params"]["pos_embed"])
+    # frozen pos embed: the finetuned model still carries the pretrain
+    # table after the (8,8)->(8,4) time-crop surgery (crop arithmetic
+    # itself is parity-tested against the real reference function in
+    # test_reference_layout.py)
+    want = pe.crop_time_audio_pos_embed(
+        np.asarray(sd["pos_embed"]), (8, 8), (8, 4), num_extra_tokens=1
+    )
+    assert want.shape == pos.shape == (1, 33, 192)
+    np.testing.assert_array_equal(pos, want)

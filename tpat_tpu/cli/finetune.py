@@ -284,7 +284,19 @@ def load_params(args, model, model_cfg):
         if model_cfg.num_extra_tokens == 2:
             imported = ti.ast_params_from_state_dict(sd, model_cfg)
         else:
-            imported = ti.audiomae_params_from_state_dict(sd, model_cfg)
+            # The reference hardcodes the pretrain grid as (8, 64)
+            # (main_finetune.py:408-409, AudioSet-1024 pretraining); we
+            # infer (freq, time) from the checkpoint's pos-embed row count
+            # so checkpoints pretrained at other lengths (e.g. our own
+            # cli/pretrain.py runs) crop correctly too — identical to the
+            # reference for the 512-patch AudioSet layout.
+            ckpt_grid = (8, 64)
+            if "pos_embed" in sd:
+                rows = sd["pos_embed"].shape[1] - 1
+                ckpt_grid = (model_cfg.grid_f, rows // model_cfg.grid_f)
+            imported = ti.audiomae_params_from_state_dict(
+                sd, model_cfg, ckpt_grid=ckpt_grid
+            )
         params = ti.overlay_params(params, imported)
         print(f"loaded pretrained checkpoint: {args.audioset_pretrained_model_path}")
 

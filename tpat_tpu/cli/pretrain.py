@@ -107,7 +107,11 @@ def main(args):
         cfg = mae_vit_base_dec512d8b(**common)
     else:
         cfg = MAEConfig(
-            embed_dim=192, depth=4, num_heads=3, decoder_embed_dim=128,
+            # depth 6 matches config.audiomae_vit_tiny so a tiny pretrain's
+            # encoder feeds the tiny finetune model end-to-end (the same
+            # depth-parity the reference keeps between models_mae.py and
+            # models_vit.py at base scale)
+            embed_dim=192, depth=6, num_heads=3, decoder_embed_dim=128,
             decoder_depth=2, decoder_num_heads=4, **common,
         )
     model = MaskedAutoencoderViT(cfg)
