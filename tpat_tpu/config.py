@@ -14,6 +14,27 @@ import math
 from typing import Optional, Tuple
 
 
+def compose_kept_counts(
+    rates: Tuple[float, ...], num_patches: int
+) -> Tuple[int, ...]:
+    """Per-block kept-PATCH counts under the ceil-chain composition
+    ``kept = math.ceil(r * kept)`` for each ``r < 1.0``
+    (``models_vit.py:104``), in Python double precision.
+
+    The single source of truth for pruning widths: both the static path
+    (``ViTConfig.tokens_per_block``) and the masked anneal path
+    (``engine.schedules.masked_kept_counts``) derive from it, so the two
+    compiled variants can never disagree on a width.
+    """
+    counts = []
+    kept = num_patches
+    for r in rates:
+        if r < 1.0:
+            kept = math.ceil(r * kept)
+        counts.append(kept)
+    return tuple(counts)
+
+
 # ---------------------------------------------------------------------------
 # Model config
 # ---------------------------------------------------------------------------
@@ -165,13 +186,12 @@ class ViTConfig:
         num_left = ceil(keep * (N - extra)) per models_vit.py:104.
         """
         rates = self.keep_rates if keep_rates is None else keep_rates
+        counts = compose_kept_counts(rates, self.num_patches)
         shapes = []
-        n_patches = self.num_patches
-        for r in rates:
-            n_in = n_patches + self.num_extra_tokens
-            if r < 1.0:
-                n_patches = math.ceil(r * n_patches)
-            shapes.append((n_in, n_patches))
+        prev = self.num_patches
+        for out in counts:
+            shapes.append((prev + self.num_extra_tokens, out))
+            prev = out
         return tuple(shapes)
 
 

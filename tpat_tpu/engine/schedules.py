@@ -107,14 +107,18 @@ def masked_kept_counts(
     kept 100: double gives 7.000000000000001 -> 8, f32 rounds to 7.0 -> 7),
     so the engine precomputes the counts here and feeds them to
     ``forward_masked(num_left_array=...)`` as traced ints — same single
-    compilation, bit-identical pruning widths to the reference."""
-    counts = []
-    kept = num_patches
-    for i, r in enumerate(rates):
-        if i in drop_loc and r < 1.0:
-            kept = math.ceil(r * kept)
-        counts.append(kept)
-    return tuple(counts)
+    compilation, bit-identical pruning widths to the reference.
+
+    Delegates to ``config.compose_kept_counts`` (the same arithmetic the
+    static path's ``tokens_per_block`` uses) after neutralizing rates at
+    non-``drop_loc`` blocks, so the static and masked paths share one
+    source of truth for widths."""
+    from tpat_tpu.config import compose_kept_counts
+
+    effective = tuple(
+        r if i in drop_loc else 1.0 for i, r in enumerate(rates)
+    )
+    return compose_kept_counts(effective, num_patches)
 
 
 def schedule_phase(

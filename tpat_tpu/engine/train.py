@@ -90,6 +90,25 @@ class TrainModule:
     preprocess: Any = None
 
     def __post_init__(self):
+        # The schedule's pruning geometry and the model's must be the same
+        # object-of-agreement (in the reference one CLI arg feeds both,
+        # main_finetune.py:364-366): the anneal path precomposes kept
+        # counts from train_cfg.drop_loc but applies them at
+        # model_cfg.drop_loc, and the bucketed base-level compare uses
+        # train_cfg.base_keep_rate against the model's baked rates — a
+        # mismatch would silently corrupt pruning widths.
+        if self.train_cfg.base_keep_rate < 1.0:
+            if tuple(self.train_cfg.drop_loc) != tuple(self.model_cfg.drop_loc):
+                raise ValueError(
+                    f"train_cfg.drop_loc {self.train_cfg.drop_loc} != "
+                    f"model_cfg.drop_loc {self.model_cfg.drop_loc}"
+                )
+            if self.train_cfg.base_keep_rate != self.model_cfg.base_keep_rate:
+                raise ValueError(
+                    f"train_cfg.base_keep_rate {self.train_cfg.base_keep_rate}"
+                    f" != model_cfg.base_keep_rate "
+                    f"{self.model_cfg.base_keep_rate}"
+                )
         if self.train_cfg.optimizer == "ast_adam":
             self.lr_fn = opt_lib.make_ast_lr_fn(
                 self.train_cfg, max(self.iters_per_epoch, 1)

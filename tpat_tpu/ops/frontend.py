@@ -55,6 +55,10 @@ def _spec_masking_device(mel, freqm, timem, rng):
     r1, r2, r3, r4 = jax.random.split(rng, 4)
 
     def band_mask(size, param, rw, rs, batch):
+        # torchaudio clamps mask_param to the axis size (_get_mask_param)
+        # before drawing; without it param > size would draw negative
+        # starts and diverge from the host distribution.
+        param = min(float(param), float(size))
         width = jax.random.uniform(rw, (batch,)) * param
         start = jax.random.uniform(rs, (batch,)) * (size - width)
         lo = jnp.floor(start)
