@@ -278,3 +278,79 @@ def test_voxceleb_noncontiguous_speaker_ids(tmp_path):
         assert y.shape == (3,) and y.sum() == 1.0
         got[rel.split("/")[0]] = int(np.argmax(y))
     assert got == ds.id2class
+
+
+def test_dataset_threaded_loader_deterministic(corpus):
+    """__getitem__ must not mutate shared state: the per-item generator is
+    local, so concurrent threads in the loader can't cross-contaminate
+    augmentation streams, and two threaded epochs replay identically."""
+    manifest, label_csv, _ = corpus
+    cfg = DataConfig(
+        name="t", num_classes=5, target_length=128, norm_mean=-6.0,
+        norm_std=5.0, multilabel=True, use_noise=True, loss_type="bce",
+        mixup=0.5, freqm=8, timem=8,
+    )
+    ds = AudiosetDataset(
+        manifest, cfg, label_csv, train=True, roll_mag_aug=True, seed=7
+    )
+
+    def epoch_batches():
+        dl = DataLoader(ds, batch_size=2, num_workers=4, seed=7)
+        dl.set_epoch(1)
+        return [x for x, _y, _ids in dl]
+
+    a, b = epoch_batches(), epoch_batches()
+    assert len(a) == len(b) == 3
+    for xa, xb in zip(a, b):
+        np.testing.assert_array_equal(xa, xb)
+    assert not hasattr(ds, "rng")  # no shared generator survives
+
+
+def test_mixup_uses_first_files_sample_rate(corpus, monkeypatch):
+    """The fbank runs at file 1's sample rate under mixup, as the
+    reference passes the first file's sr (dataset.py:183-209)."""
+    from tpat_tpu.data import datasets as ds_mod
+    from tpat_tpu.data.wav import load_wav as real_load
+
+    manifest, label_csv, _ = corpus
+    cfg = DataConfig(
+        name="t", num_classes=5, target_length=128, norm_mean=-6.0,
+        norm_std=5.0, multilabel=True, use_noise=False, loss_type="bce",
+        mixup=1.0,
+    )
+    ds = AudiosetDataset(manifest, cfg, label_csv, train=True, seed=0)
+
+    calls = {}
+    orig_paths = []
+
+    def fake_load(path):
+        wav, sr = real_load(path)
+        # pretend every file after the first has a different rate
+        orig_paths.append(path)
+        return wav, 16000 if len(orig_paths) == 1 else 8000
+
+    seen_srs = []
+    real_fbank = ds_mod.fb.fbank_numpy
+
+    def spy_fbank(wave, fcfg):
+        seen_srs.append(fcfg.sample_rate)
+        return real_fbank(wave, fcfg)
+
+    monkeypatch.setattr(ds_mod, "load_wav", fake_load)
+    monkeypatch.setattr(ds_mod.fb, "fbank_numpy", spy_fbank)
+    ds[0]
+    assert len(orig_paths) == 2  # mixup loaded a partner
+    assert seen_srs == [16000]  # fbank ran once, at file 1's rate
+
+
+def test_roll_mag_is_gain_only():
+    """The reference's roll index is always 0 (randint over len of a
+    (1, N) array), so roll_mag_aug must be a pure gain: same shape, a
+    constant multiple of the input, nothing circularly shifted."""
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(1, 1000)).astype(np.float32)
+    out = augment.roll_mag_aug(w, np.random.default_rng(1))
+    ratio = out / w
+    np.testing.assert_allclose(ratio, ratio[0, 0], rtol=1e-5)
+    g = float(ratio[0, 0])
+    assert 0.5 <= g <= 1.5  # Beta(10,10) + 0.5

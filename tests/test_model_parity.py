@@ -306,3 +306,90 @@ def test_frozen_pos_embed_respects_extra_tokens():
     )
     out = model.apply({"params": params}, x)
     assert out.shape == (2, 3)
+
+
+def test_custom_rank_ignored_under_2d_masking(rng):
+    """The reference's masked-2d path (forward_features_mask,
+    models_vit.py:468-497) never consults use_custom_rank; full-grid rank
+    indices would be misaligned with the permuted shrunk sequence."""
+    cfg = ViTConfig(
+        embed_dim=32, depth=2, num_heads=2, num_classes=3,
+        target_length=64, num_mel_bins=32, drop_loc=(1,),
+        base_keep_rate=0.5, drop_path_rate=0.0,
+    )
+    model = AudioViT(cfg)
+    x = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+
+    def run(custom_rank):
+        return model.apply(
+            {"params": params}, x, mask_t_prob=0.25, mask_f_prob=0.25,
+            custom_rank=custom_rank, deterministic=False,
+            rngs={"mask2d": jax.random.PRNGKey(5),
+                  "dropout": jax.random.PRNGKey(6)},
+        )
+
+    np.testing.assert_array_equal(
+        np.asarray(run("mean")), np.asarray(run(None))
+    )
+
+
+def test_frozen_pos_embed_no_grad_in_masked2d(rng):
+    """With frozen_pos_embed, the 2D-masked training path must leak zero
+    gradient into pos_embed (the CLS row previously bypassed the
+    stop_gradient)."""
+    cfg = ViTConfig(
+        embed_dim=32, depth=1, num_heads=2, num_classes=3,
+        target_length=64, num_mel_bins=32, drop_loc=(),
+        drop_path_rate=0.0, frozen_pos_embed=True,
+    )
+    model = AudioViT(cfg)
+    x = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p}, x, mask_t_prob=0.25, mask_f_prob=0.25,
+            deterministic=False,
+            rngs={"mask2d": jax.random.PRNGKey(5),
+                  "dropout": jax.random.PRNGKey(6)},
+        )
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    np.testing.assert_array_equal(np.asarray(grads["pos_embed"]), 0.0)
+    assert float(np.abs(np.asarray(grads["cls_token"])).max()) > 0.0
+
+
+def test_attn_drop_rate_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="attn_drop_rate"):
+        ViTConfig(
+            embed_dim=32, depth=1, num_heads=2, num_classes=3,
+            target_length=64, num_mel_bins=32, attn_drop_rate=0.1,
+        )
+
+
+def test_ast_mlp_head_torch_default_init():
+    """ast_models.py:290 builds a PLAIN nn.Linear head: torch default
+    kaiming-uniform(a=sqrt(5)) => weight ~ U(+-sqrt(1/fan_in)), bias ~
+    U(+-1/sqrt(fan_in)) — not timm trunc-normal."""
+    cfg = ViTConfig(
+        embed_dim=64, depth=1, num_heads=2, num_classes=35,
+        target_length=128, num_mel_bins=32, drop_loc=(),
+        num_extra_tokens=2, importance="cls", pooling="cls_dist",
+        pos_embed_mode="post_cat", use_final_norm=True,
+        frozen_pos_embed=False, drop_path_rate=0.0,
+    )
+    model = AudioViT(cfg)
+    x = jnp.zeros((1, 1, 128, 32), np.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    w = np.asarray(params["mlp_head"]["kernel"])
+    b = np.asarray(params["mlp_head"]["bias"])
+    bound_w = np.sqrt(1.0 / 64)
+    assert np.abs(w).max() <= bound_w * 1.0001
+    assert np.abs(w).max() >= bound_w * 0.85  # uniform reaches the bound
+    bound_b = 1.0 / np.sqrt(64)
+    assert np.abs(b).max() <= bound_b * 1.0001
+    assert np.abs(b).max() > 0.0  # not zeros

@@ -91,6 +91,11 @@ class ViTConfig:
 
     # Regularization
     drop_rate: float = 0.0
+    # Attention-probability dropout is NOT implemented (every reference
+    # config runs attn_drop_rate 0.0; the fused kernel's probabilities
+    # never leave VMEM).  The knob exists for config-file parity only and
+    # __post_init__ rejects nonzero values rather than silently ignoring
+    # them.
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.1
     # Rematerialize block activations in the backward pass (trades FLOPs
@@ -121,6 +126,12 @@ class ViTConfig:
     dense_init: str = "trunc_normal"
 
     def __post_init__(self):
+        if self.attn_drop_rate != 0.0:
+            raise ValueError(
+                "attn_drop_rate is not implemented (all reference configs "
+                "use 0.0, models_vit.py:93); got "
+                f"{self.attn_drop_rate}"
+            )
         if self.dense_init not in ("trunc_normal", "xavier_uniform"):
             raise ValueError(
                 f"dense_init must be 'trunc_normal' or 'xavier_uniform', "

@@ -1,8 +1,9 @@
 """Host-side audio augmentations, matching the reference dataset pipeline
 (``/root/reference/audiomae/dataset.py``):
 
-- roll-mag: random circular roll of the waveform + Beta(10,10)+0.5 gain
-  (``dataset.py:168-173``)
+- roll-mag: Beta(10,10)+0.5 gain (``dataset.py:168-173``; the reference's
+  circular roll is vestigial — its roll index is always 0, see
+  ``roll_mag_aug``)
 - waveform mixup with lambda ~ Beta(10,10) building soft labels
   (``dataset.py:254-274``)
 - SpecAug frequency/time masking applied BEFORE normalization, masking
@@ -19,14 +20,13 @@ import numpy as np
 
 
 def roll_mag_aug(waveform: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """dataset.py:168-173 — note the reference rolls the flattened array
-    with idx drawn from len(waveform) where waveform is (1, N); np.roll on
-    the flat view is the same operation for mono audio."""
-    flat = waveform.reshape(-1)
-    idx = int(rng.integers(len(flat)))
-    rolled = np.roll(flat, idx)
+    """dataset.py:168-173.  The reference's roll is VESTIGIAL: it draws
+    ``np.random.randint(len(waveform))`` on a (1, N) tensor, and
+    ``len`` of that is 1, so the roll index is always 0 — only the
+    Beta(10,10)+0.5 gain ever applies.  Replicated faithfully (an actual
+    roll would change every augmented sample vs the reference run)."""
     mag = rng.beta(10, 10) + 0.5
-    return (rolled * mag).reshape(waveform.shape).astype(np.float32)
+    return (waveform * mag).astype(np.float32)
 
 
 def mixup_waveforms(

@@ -88,7 +88,6 @@ class AudiosetDataset:
         self.skip_norm = skip_norm
         self.seed = seed
         self.epoch = 0  # set by the loader each epoch
-        self.rng = np.random.default_rng(seed)  # non-threaded fallback
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -96,34 +95,35 @@ class AudiosetDataset:
     def __len__(self):
         return len(self.data)
 
-    def _load_centered(self, path: str) -> np.ndarray:
+    def _load_centered(self, path: str, rng) -> Tuple[np.ndarray, int]:
         wav, sr = load_wav(path)
         wav = wav - wav.mean()
-        self._sr = sr
         if self.roll_mag:
-            wav = augment.roll_mag_aug(wav, self.rng)
-        return wav
+            wav = augment.roll_mag_aug(wav, rng)
+        return wav, sr
 
-    def _wav2fbank(self, path: str, path2: Optional[str] = None):
-        w1 = self._load_centered(path)
+    def _wav2fbank(self, path: str, rng, path2: Optional[str] = None):
+        # mixup keeps file 1's sample rate for the fbank, exactly as the
+        # reference passes the first file's sr (dataset.py:183-209)
+        w1, sr = self._load_centered(path, rng)
         lam = 0.0
         if path2 is not None:
-            w2 = self._load_centered(path2)
-            w1, lam = augment.mixup_waveforms(w1, w2, self.rng)
+            w2, _ = self._load_centered(path2, rng)
+            w1, lam = augment.mixup_waveforms(w1, w2, rng)
         mel = fb.fbank_numpy(
             w1[0],
             fb.FbankConfig(
-                sample_rate=self._sr, num_mel_bins=self.cfg.num_mel_bins
+                sample_rate=sr, num_mel_bins=self.cfg.num_mel_bins
             ),
         )
         mel = fb.pad_or_crop(mel, self.cfg.target_length)
         return mel, lam
 
-    def _fixed_waveform(self, path: str, path2: Optional[str] = None):
-        w1 = self._load_centered(path)
+    def _fixed_waveform(self, path: str, rng, path2: Optional[str] = None):
+        w1, _ = self._load_centered(path, rng)
         if path2 is not None:
-            w2 = self._load_centered(path2)
-            w1, lam = augment.mixup_waveforms(w1, w2, self.rng)
+            w2, _ = self._load_centered(path2, rng)
+            w1, lam = augment.mixup_waveforms(w1, w2, rng)
         else:
             lam = 0.0
         wav = w1.reshape(-1)
@@ -135,21 +135,22 @@ class AudiosetDataset:
         return wav.astype(np.float32), lam
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray, str]:
-        # per-(seed, epoch, index) generator: thread-safe under the
-        # threaded loader, deterministic, fresh randomness each epoch
-        self.rng = np.random.default_rng((self.seed, self.epoch, index))
+        # per-(seed, epoch, index) generator, LOCAL to this call: the
+        # threaded loader runs __getitem__ concurrently on one dataset
+        # object, so the generator must never live on self
+        rng = np.random.default_rng((self.seed, self.epoch, index))
         datum = self.data[index]
         labels = np.zeros(self.label_num, dtype=np.float32)
-        do_mixup = self.rng.random() < self.mixup
+        do_mixup = rng.random() < self.mixup
         partner = (
-            self.data[int(self.rng.integers(len(self.data)))]
+            self.data[int(rng.integers(len(self.data)))]
             if do_mixup
             else None
         )
 
         if self.return_waveform:
             wav, lam = self._fixed_waveform(
-                datum["wav"], partner["wav"] if partner else None
+                datum["wav"], rng, partner["wav"] if partner else None
             )
             if partner is not None:
                 for s in datum["labels"].split(","):
@@ -162,22 +163,22 @@ class AudiosetDataset:
             return wav, labels, datum["wav"]
 
         if do_mixup:
-            mel, lam = self._wav2fbank(datum["wav"], partner["wav"])
+            mel, lam = self._wav2fbank(datum["wav"], rng, partner["wav"])
             for s in datum["labels"].split(","):
                 labels[self.index_dict[s.strip()]] += lam
             for s in partner["labels"].split(","):
                 labels[self.index_dict[s.strip()]] += 1.0 - lam
         else:
-            mel, _ = self._wav2fbank(datum["wav"])
+            mel, _ = self._wav2fbank(datum["wav"], rng)
             for s in datum["labels"].split(","):
                 labels[self.index_dict[s.strip()]] = 1.0
 
         if self.freqm or self.timem:
-            mel = augment.spec_masking(mel, self.freqm, self.timem, self.rng)
+            mel = augment.spec_masking(mel, self.freqm, self.timem, rng)
         if not self.skip_norm:
             mel = fb.normalize(mel, self.cfg.norm_mean, self.cfg.norm_std)
         if self.noise:
-            mel = augment.noise_aug(mel, self.rng)
+            mel = augment.noise_aug(mel, rng)
         return mel[None].astype(np.float32), labels, datum["wav"]
 
 
@@ -211,7 +212,6 @@ class VoxCeleb1Dataset:
         self.skip_norm = skip_norm
         self.seed = seed
         self.epoch = 0
-        self.rng = np.random.default_rng(seed)
 
         split_file = os.path.join(root, "iden_split.txt")
         want = self.SPLIT[subset]
@@ -242,7 +242,8 @@ class VoxCeleb1Dataset:
         self.epoch = epoch
 
     def __getitem__(self, index: int):
-        self.rng = np.random.default_rng((self.seed, self.epoch, index))
+        # local per-call generator — see AudiosetDataset.__getitem__
+        rng = np.random.default_rng((self.seed, self.epoch, index))
         rel = self.files[index]
         label = np.zeros(self.total_classes, dtype=np.float32)
         label[self.id2class[rel.split("/")[0]]] = 1.0
@@ -250,7 +251,7 @@ class VoxCeleb1Dataset:
         wav, sr = load_wav(os.path.join(self.root, "wav", rel))
         wav = wav - wav.mean()
         if self.roll_mag:
-            wav = augment.roll_mag_aug(wav, self.rng)
+            wav = augment.roll_mag_aug(wav, rng)
         mel = fb.fbank_numpy(
             wav[0],
             fb.FbankConfig(sample_rate=sr, num_mel_bins=self.cfg.num_mel_bins),
@@ -258,12 +259,12 @@ class VoxCeleb1Dataset:
         pad_left = 0
         deficit = self.cfg.target_length - mel.shape[0]
         if self.lr_pad and deficit > 0:
-            pad_left = int(self.rng.integers(0, deficit + 1))
+            pad_left = int(rng.integers(0, deficit + 1))
         mel = fb.pad_or_crop(mel, self.cfg.target_length, pad_left=pad_left)
         if self.freqm or self.timem:
-            mel = augment.spec_masking(mel, self.freqm, self.timem, self.rng)
+            mel = augment.spec_masking(mel, self.freqm, self.timem, rng)
         if not self.skip_norm:
             mel = fb.normalize(mel, self.cfg.norm_mean, self.cfg.norm_std)
         if self.noise:
-            mel = augment.noise_aug(mel, self.rng)
+            mel = augment.noise_aug(mel, rng)
         return mel[None].astype(np.float32), label, rel

@@ -29,6 +29,7 @@ Two TPU execution modes:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -53,6 +54,12 @@ def _kinit(cfg):
     if cfg.dense_init == "xavier_uniform":
         return nn.initializers.xavier_uniform()
     return _trunc02
+
+
+def _torch_linear_bias(rng, shape, dtype=jnp.float32, *, fan_in):
+    """torch nn.Linear default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / float(np.sqrt(fan_in))
+    return jax.random.uniform(rng, shape, dtype, -bound, bound)
 
 
 def _conv_flat_xavier(rng, shape, dtype=jnp.float32):
@@ -429,10 +436,20 @@ class AudioViT(nn.Module):
                 ),
             )
         elif cfg.pooling == "cls_dist":
-            # AST mlp_head = LayerNorm + Linear (ast_models.py:290).
+            # AST mlp_head = LayerNorm + Linear (ast_models.py:290) — a
+            # plain nn.Linear, so its init is the torch default
+            # kaiming-uniform(a=sqrt(5)): weight ~ U(±sqrt(1/fan_in)),
+            # bias ~ U(±1/sqrt(fan_in)) — not timm trunc-normal.
             self.mlp_head_norm = nn.LayerNorm(epsilon=eps, dtype=jnp.float32)
             self.mlp_head = nn.Dense(
-                cfg.num_classes, dtype=jnp.float32, kernel_init=_trunc02
+                cfg.num_classes,
+                dtype=jnp.float32,
+                kernel_init=nn.initializers.variance_scaling(
+                    1.0 / 3.0, "fan_in", "uniform"
+                ),
+                bias_init=functools.partial(
+                    _torch_linear_bias, fan_in=cfg.embed_dim
+                ),
             )
         else:
             raise ValueError(f"unknown pooling: {cfg.pooling}")
@@ -535,7 +552,14 @@ class AudioViT(nn.Module):
             features["mel"] = x
 
         rank = None
-        if custom_rank is not None:
+        if custom_rank is not None and not (
+            mask_t_prob > 0.0 or mask_f_prob > 0.0
+        ):
+            # The reference's masked-2d path (forward_features_mask,
+            # models_vit.py:468-497) never consults use_custom_rank — and
+            # full-grid rank indices would be misaligned with the permuted,
+            # shrunken token sequence — so the rank override only applies
+            # to the unmasked forward.
             rank = patch_stats(x, cfg.patch_size, custom_rank)
 
         if mask_t_prob > 0.0 or mask_f_prob > 0.0:
@@ -600,7 +624,10 @@ class AudioViT(nn.Module):
         grid = grid.transpose(0, 2, 1, 3)  # (B, T', F', D)
         tokens = grid.reshape(b, keep_t * keep_f, d)
 
-        cls = (self.cls_token + self.pos_embed[:, :1, :]).astype(tokens.dtype)
+        # reuse the (possibly stop-gradiented) pos table for the CLS row
+        # too — adding raw self.pos_embed here leaked gradient into the
+        # frozen table, inflating the logged grad norm
+        cls = (self.cls_token.astype(tokens.dtype) + pos[:, :1, :])
         cls = jnp.broadcast_to(cls, (b, 1, d))
         tokens = jnp.concatenate([cls, tokens], axis=1)
         tokens = self.pos_drop(tokens, deterministic=deterministic)
@@ -638,6 +665,15 @@ class AudioViT(nn.Module):
         ``block_idx``, only tokens whose per-patch mel mean lies inside the
         open interval survive.  Returns (logits, kept_counts) so callers
         can skip samples where nothing survived (reference returns None).
+
+        Band-after-pruning note: the band mask is composed in ORIGINAL
+        grid space and intersected with the current token mask.  The
+        reference instead indexes the (possibly already pruned and
+        importance-reordered) ``x`` with original-grid indices — which
+        raises an IndexError whenever a pruning block precedes
+        ``block_idx`` (indices up to P-1 into a shrunk tensor), so that
+        regime is unrunnable upstream.  Where the reference IS runnable
+        (band before any pruning) the two definitions coincide.
         """
         cfg = self.cfg
         b = x.shape[0]
