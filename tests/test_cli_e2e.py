@@ -305,3 +305,104 @@ def test_pretrain_to_finetune_chain(corpus, tmp_path):
     )
     assert want.shape == pos.shape == (1, 33, 192)
     np.testing.assert_array_equal(pos, want)
+
+
+def test_keeper_tie_semantics(tmp_path):
+    """AudioMAE keeps the LAST epoch on ties (main_finetune.py:548 '<='),
+    AST keeps the FIRST (traintest.py:236-247 strict '>')."""
+    from tpat_tpu.utils.checkpoint import BestCheckpointKeeper
+
+    class S:
+        params = {"w": np.zeros(2)}
+        opt_state = {}
+        step = 0
+
+    last = BestCheckpointKeeper(str(tmp_path / "a"), str(tmp_path / "b"))
+    for ep, sc in [(1, 0.5), (2, 0.5), (3, 0.4)]:
+        last.update(sc, S(), ep)
+    assert last.best_epoch == 2
+
+    first = BestCheckpointKeeper(
+        str(tmp_path / "c"), str(tmp_path / "d"), ties="first"
+    )
+    for ep, sc in [(1, 0.5), (2, 0.5), (3, 0.4)]:
+        first.update(sc, S(), ep)
+    assert first.best_epoch == 1
+
+
+def test_run_ast_eval_requires_checkpoint(corpus, tmp_path):
+    """--eval on a missing best checkpoint fails loudly (run.py:258), not
+    silently scoring fresh weights."""
+    from tpat_tpu.cli.run_ast import get_parser, main
+
+    argv = [
+        "--dataset", "esc50", "--model_size", "tiny_debug",
+        "--data-val", str(corpus / "eval.json"),
+        "--label-csv", str(corpus / "labels.csv"),
+        "--n_class", "4", "-b", "8", "--audio_length", "128",
+        "--metrics", "acc", "--loss", "CE", "--drop_loc", "(1, 3)",
+        "--exp-dir", str(tmp_path / "nope"), "--eval",
+    ]
+    with pytest.raises(FileNotFoundError, match="best checkpoint"):
+        main(get_parser().parse_args(argv))
+
+
+def test_finetune_args_checker_mask_probs():
+    from tpat_tpu.cli.finetune import args_checker, get_args_parser
+
+    args = get_args_parser().parse_args(
+        ["--data_train", "x", "--data_eval", "y", "--label_csv", "z",
+         "--dataset", "esc50", "--nb_classes", "4",
+         "--batch_size", "8", "--epochs", "1",
+         "--mask_t_prob", "0.7", "--mask_f_prob", "0.3"]
+    )
+    with pytest.raises(AssertionError, match="mask_t_prob"):
+        args_checker(args)
+
+
+def test_pretrained_head_kernel_reinitialized(corpus, tmp_path):
+    """After a pretrained load the head KERNEL is freshly initialized
+    (trunc_normal 2e-5, main_finetune.py:424) even when the checkpoint
+    carries a matching-width head; the bias may overlay."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpat_tpu.cli import finetune as ft
+    from tpat_tpu.config import audiomae_vit_tiny
+    from tpat_tpu.models.vit import AudioViT
+    from tpat_tpu.utils.torch_export import save_pth
+
+    cfg = audiomae_vit_tiny(
+        target_length=64, num_classes=4, drop_loc=(1,), base_keep_rate=0.6,
+        drop_path_rate=0.0,
+    )
+    model = AudioViT(cfg)
+    x0 = jnp.zeros((1, 1, 64, 128))
+    donor = model.init({"params": jax.random.PRNGKey(9)}, x0)["params"]
+    donor["head"]["kernel"] = np.full_like(
+        np.asarray(donor["head"]["kernel"]), 7.0
+    )
+    donor["head"]["bias"] = np.full_like(
+        np.asarray(donor["head"]["bias"]), 3.0
+    )
+    pth = tmp_path / "donor.pth"
+    save_pth(str(pth), donor, flavor="audiomae", epoch=0)
+
+    args = ft.get_args_parser().parse_args([
+        "--dataset", "esc50", "--model", "audiomae_vit_tiny",
+        "--target_length", "64", "--nb_classes", "4",
+        "--data_train", str(corpus / "train.json"),
+        "--data_eval", str(corpus / "eval.json"),
+        "--label_csv", str(corpus / "labels.csv"),
+        "--base_keep_rate", "0.6", "--drop_loc", "(1,)",
+        "--batch_size", "8", "--epochs", "1",
+        "--audioset_pretrained_model_path", str(pth),
+    ])
+    params = ft.load_params(args, model, cfg)
+    k = np.asarray(params["head"]["kernel"])
+    assert np.abs(k).max() < 1e-3  # fresh trunc_normal(2e-5), not 7.0
+    np.testing.assert_array_equal(np.asarray(params["head"]["bias"]), 3.0)
+    # trunk weights DID come from the checkpoint
+    np.testing.assert_array_equal(
+        np.asarray(params["cls_token"]), np.asarray(donor["cls_token"])
+    )

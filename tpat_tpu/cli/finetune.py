@@ -138,6 +138,13 @@ def args_checker(args):
         assert args.extract_features_path, (
             "extract_features_path is required for feature extraction"
         )
+    # main_finetune.py:511 — the engine applies one probability to both
+    # axes, so unequal values would silently train a different
+    # augmentation than requested
+    assert args.mask_t_prob == args.mask_f_prob, (
+        f"mask_t_prob ({args.mask_t_prob}) must equal mask_f_prob "
+        f"({args.mask_f_prob}) (main_finetune.py:511)"
+    )
 
 
 def build_everything(args):
@@ -297,6 +304,13 @@ def load_params(args, model, model_cfg):
             imported = ti.audiomae_params_from_state_dict(
                 sd, model_cfg, ckpt_grid=ckpt_grid
             )
+            # the reference re-initializes head.weight with
+            # trunc_normal(2e-5) unconditionally AFTER the pretrained load
+            # (main_finetune.py:424) — keep the model's fresh kernel, let
+            # an imported matching-shape bias overlay (strict=False keeps
+            # it upstream)
+            if "head" in imported:
+                imported["head"].pop("kernel", None)
         params = ti.overlay_params(params, imported)
         print(f"loaded pretrained checkpoint: {args.audioset_pretrained_model_path}")
 
@@ -324,7 +338,9 @@ def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
     writer = None
     index_to_name = None
     if args.flag_extract_features:
-        Path(args.extract_features_path).mkdir(parents=True, exist_ok=True)
+        # exist_ok=False (main_finetune.py:494): stale per-batch files from
+        # an earlier run would be globbed into the aggregation downstream
+        Path(args.extract_features_path).mkdir(parents=True, exist_ok=False)
         writer = FeatureWriter(args.extract_features_path)
         if args.label_csv:
             index_to_name = make_name_dict(args.label_csv)
@@ -457,7 +473,11 @@ def main(args):
             f"epoch {epoch}: phase={train_stats['phase']} "
             f"train_loss={train_stats['loss']:.4f} {metric}={score:.4f}"
         )
-        keeper.update(score, state, epoch)
+        if epoch >= args.first_eval_ep:
+            # never checkpoint the -1.0 placeholder of skipped-eval epochs
+            # (reference saves only on a real >= max score,
+            # main_finetune.py:548)
+            keeper.update(score, state, epoch)
         if args.save_every_epochs and (epoch + 1) % args.save_every_epochs == 0:
             from tpat_tpu.utils.checkpoint import save_checkpoint
 

@@ -219,7 +219,10 @@ def main(args):
         print(f"epoch {epoch}: loss={mean_loss:.4f} lr={float(lr_fn(step)):.2e}")
         with open(out / "log.txt", "a") as f:
             f.write(json.dumps({"epoch": epoch, "loss": mean_loss}) + "\n")
-        if (epoch + 1) % args.save_every_epochs == 0 or epoch == args.epochs - 1:
+        if (
+            args.save_every_epochs > 0
+            and (epoch + 1) % args.save_every_epochs == 0
+        ) or epoch == args.epochs - 1:
 
             class _S:  # minimal state envelope for save_checkpoint
                 pass

@@ -53,8 +53,11 @@ def get_parser():
     p.add_argument("--lrscheduler_start", type=int, default=2)
     p.add_argument("--lrscheduler_step", type=int, default=1)
     p.add_argument("--lrscheduler_decay", type=float, default=0.5)
-    p.add_argument("--freqm", type=int, default=0)
-    p.add_argument("--timem", type=int, default=0)
+    # SpecAug strengths: the reference has NO flags — run.py:150-158
+    # hard-codes them per dataset; None here means "use that table",
+    # an explicit value overrides it (beyond-reference convenience).
+    p.add_argument("--freqm", type=int, default=None)
+    p.add_argument("--timem", type=int, default=None)
     # EViT
     p.add_argument("--shrink_start_epoch", type=int, default=999)
     p.add_argument("--shrink_epochs", type=int, default=999)
@@ -95,6 +98,18 @@ def main(args):
     )
     np.random.seed(args.seed)
 
+    # per-dataset SpecAug table (run.py:150-158); flags override
+    timem_conf = {"audioset": 192, "speechcommands": 48, "esc50": 96}
+    freqm_conf = {"audioset": 48, "speechcommands": 48, "esc50": 24}
+    freqm = (
+        args.freqm if args.freqm is not None
+        else freqm_conf.get(args.dataset, 0)
+    )
+    timem = (
+        args.timem if args.timem is not None
+        else timem_conf.get(args.dataset, 0)
+    )
+
     data_cfg = cfg_lib.DataConfig(
         name=args.dataset,
         num_classes=args.n_class,
@@ -104,8 +119,8 @@ def main(args):
         multilabel=args.metrics == "mAP",
         use_noise=bool(args.noise),
         loss_type="bce" if args.loss == "BCE" else "ce_hard",
-        freqm=args.freqm,
-        timem=args.timem,
+        freqm=freqm,
+        timem=timem,
         mixup=args.mixup,
     )
 
@@ -146,30 +161,59 @@ def main(args):
         params = model.init({"params": jax.random.PRNGKey(args.seed)}, x0)["params"]
         if args.audioset_pretrained_model_path:
             sd = ti.load_torch_state_dict(args.audioset_pretrained_model_path)
-            params = ti.overlay_params(
-                params, ti.ast_params_from_state_dict(sd, model_cfg)
-            )
+            imported = ti.ast_params_from_state_dict(sd, model_cfg)
+            # the reference's audioset-pretrain path ALWAYS constructs a
+            # fresh mlp_head (LayerNorm + Linear, ast_models.py:352), even
+            # when label_dim matches — never warm-start the head here
+            imported.pop("mlp_head", None)
+            imported.pop("mlp_head_norm", None)
+            params = ti.overlay_params(params, imported)
             print(f"loaded AST checkpoint {args.audioset_pretrained_model_path}")
         return params
 
     os.makedirs(args.exp_dir or ".", exist_ok=True)
 
+    # ablation wiring (run.py:204-215)
+    intensity_band = None
+    if args.drop_token_blk_idx is not None:
+        intensity_band = (
+            args.retain_min, args.retain_max, args.drop_token_blk_idx
+        )
+
     if args.eval:
         best = os.path.join(args.exp_dir, "models", "best_audio_model")
-        params = (
-            restore_checkpoint(best)["params"]
-            if os.path.exists(best)
-            else init_params()
-        )
+        if not os.path.exists(best):
+            # the reference torch.load fails loudly on a missing
+            # best_audio_model.pth (run.py:258) — never silently score
+            # freshly-initialized weights
+            raise FileNotFoundError(
+                f"no best checkpoint at {best}; train first or fix --exp-dir"
+            )
+        params = restore_checkpoint(best)["params"]
         writer = None
         if args.flag_extract_features:
-            os.makedirs(args.extract_features_path, exist_ok=True)
+            # exist_ok=False (run.py:261): stale batch files from an older
+            # run would be globbed together with fresh ones downstream
+            os.makedirs(args.extract_features_path, exist_ok=False)
             writer = FeatureWriter(args.extract_features_path)
-        batches = ast_batches(loader_val)
+        # speechcommands scores the held-out test split, others the val
+        # loader (run.py:264-270)
+        if args.dataset == "speechcommands" and args.data_eval:
+            ds_test = AudiosetDataset(
+                args.data_eval, data_cfg, args.label_csv, train=False
+            )
+            eval_loader = DataLoader(
+                ds_test, args.batch_size, shuffle=False,
+                num_workers=args.num_workers,
+            )
+        else:
+            eval_loader = loader_val
+        batches = ast_batches(eval_loader)
         if args.metrics == "acc":
             stats = eval_lib.evaluate_classification(
                 model, params, batches, args.batch_size, mesh,
                 feature_writer=writer,
+                custom_rank=args.custom_rank, intensity_band=intensity_band,
             )
             score = stats["acc1"] / 100.0
             print("acc: {:.6f}".format(score))
@@ -177,6 +221,7 @@ def main(args):
             stats = eval_lib.evaluate_multilabel(
                 model, params, batches, args.batch_size, mesh,
                 feature_writer=writer,
+                custom_rank=args.custom_rank, intensity_band=intensity_band,
             )
             score = stats["mAP"]
             print("mAP: {:.6f}".format(score))
@@ -217,10 +262,15 @@ def main(args):
         loss_type=data_cfg.loss_type,
         iters_per_epoch=len(loader_train),
         mesh=mesh,
+        custom_rank=args.custom_rank,  # run.py:204-206 sets it model-wide
     )
     state = module.load(init_params(), seed=args.seed)
     scratch = os.path.join(args.ramdisk_dir or args.exp_dir, "models")
-    keeper = BestCheckpointKeeper(scratch, os.path.join(args.exp_dir, "models"))
+    # AST keeps the FIRST epoch on score ties (traintest.py:236-247 uses
+    # strict '>'), unlike the AudioMAE driver's last-wins
+    keeper = BestCheckpointKeeper(
+        scratch, os.path.join(args.exp_dir, "models"), ties="first"
+    )
 
     import pickle
     import time as _time

@@ -52,18 +52,28 @@ class BestCheckpointKeeper:
     it to the output dir and writing the ``best-{epoch:03d}-{score}.txt``
     marker (main_finetune.py:548-589)."""
 
-    def __init__(self, scratch_dir: str, output_dir: str):
+    def __init__(
+        self, scratch_dir: str, output_dir: str, ties: str = "last"
+    ):
         self.scratch_dir = scratch_dir
         self.output_dir = output_dir
         os.makedirs(scratch_dir, exist_ok=True)
         os.makedirs(output_dir, exist_ok=True)
         self.best_score = float("-inf")
         self.best_epoch = -1
+        if ties not in ("last", "first"):
+            raise ValueError(f"ties must be 'last' or 'first', got {ties!r}")
+        self.ties = ties
 
     def update(self, score: float, state, epoch: int) -> bool:
-        """Reference keeps the LAST epoch achieving >= max score
-        (main_finetune.py:548: ``max_score <= test_stats[metric]``)."""
-        if score < self.best_score:
+        """Tie semantics differ between the two reference drivers:
+        AudioMAE keeps the LAST epoch achieving >= max score
+        (main_finetune.py:548: ``max_score <= test_stats[metric]``),
+        AST keeps the FIRST (traintest.py:236-247: strict ``>``) —
+        select with ``ties``."""
+        if score < self.best_score or (
+            self.ties == "first" and score == self.best_score
+        ):
             return False
         self.best_score = score
         self.best_epoch = epoch
