@@ -17,6 +17,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
+#include <mutex>
 #include <vector>
 
 namespace {
@@ -75,7 +77,10 @@ int tpat_load_wav(const char* path, float* out, int64_t* n_inout,
     const uint8_t* hdr = buf.data() + pos;
     uint32_t chunk_len = read_u32(hdr + 4);
     const uint8_t* body = hdr + 8;
-    if (memcmp(hdr, "fmt ", 4) == 0 && chunk_len >= 16) {
+    // bytes of this chunk's body actually present in the buffer — a
+    // truncated file can declare more than remains; never read past it
+    size_t body_avail = static_cast<size_t>(size) - pos - 8;
+    if (memcmp(hdr, "fmt ", 4) == 0 && chunk_len >= 16 && body_avail >= 16) {
       info.format = read_u16(body);
       info.channels = read_u16(body + 2);
       info.sample_rate = read_u32(body + 4);
@@ -90,6 +95,11 @@ int tpat_load_wav(const char* path, float* out, int64_t* n_inout,
   }
   if (!data || info.channels <= 0 || info.sample_rate <= 0) return 5;
   if (info.format != 1 && info.format != 3) return 6;
+  // a malformed fmt chunk can declare bits 0 (or other widths the decode
+  // loop doesn't handle) — reject before the division below
+  if (info.bits != 8 && info.bits != 16 && info.bits != 24 &&
+      info.bits != 32)
+    return 6;
 
   int bytes = info.bits / 8;
   int64_t total = data_len / bytes;
@@ -179,10 +189,21 @@ struct MelBank {
   std::vector<int> band_lo, band_hi;  // nonzero support per filter
 };
 
-MelBank g_bank;
+// Cached bank behind a mutex, handed out as an immutable shared_ptr:
+// ctypes drops the GIL, so the threaded data loader can run tpat_fbank
+// concurrently — a bare mutable global raced (use-after-free when one
+// thread rebuilt while another read).  Readers hold their own reference;
+// the cache swap is brief and lock-guarded.
+std::mutex g_bank_mu;
+std::shared_ptr<const MelBank> g_bank_cache;
 
-void build_mel_bank(int sr, int bins, int nfft) {
-  if (g_bank.sr == sr && g_bank.bins == bins && g_bank.nfft == nfft) return;
+std::shared_ptr<const MelBank> get_mel_bank(int sr, int bins, int nfft) {
+  std::lock_guard<std::mutex> lk(g_bank_mu);
+  if (g_bank_cache && g_bank_cache->sr == sr && g_bank_cache->bins == bins &&
+      g_bank_cache->nfft == nfft)
+    return g_bank_cache;
+  auto bank = std::make_shared<MelBank>();
+  MelBank& g_bank = *bank;
   int num_fft_bins = nfft / 2;
   double nyquist = 0.5 * sr;
   double low = 20.0, high = nyquist;
@@ -213,6 +234,8 @@ void build_mel_bank(int sr, int bins, int nfft) {
   g_bank.sr = sr;
   g_bank.bins = bins;
   g_bank.nfft = nfft;
+  g_bank_cache = bank;
+  return bank;
 }
 
 }  // namespace
@@ -232,7 +255,8 @@ int tpat_fbank(const float* waveform, int64_t n, int32_t sample_rate,
     return 0;
   }
   const int64_t frames = 1 + (n - win) / shift;
-  build_mel_bank(sample_rate, num_mel_bins, nfft);
+  std::shared_ptr<const MelBank> bank =
+      get_mel_bank(sample_rate, num_mel_bins, nfft);
   const int num_bins_fft = nfft / 2 + 1;
 
   std::vector<double> window(win);
@@ -265,9 +289,9 @@ int tpat_fbank(const float* waveform, int64_t n, int32_t sample_rate,
 
     float* row = out + fidx * num_mel_bins;
     for (int b = 0; b < num_mel_bins; ++b) {
-      const float* w = g_bank.weights.data() + b * num_bins_fft;
+      const float* w = bank->weights.data() + b * num_bins_fft;
       double acc = 0.0;
-      for (int k = g_bank.band_lo[b]; k < g_bank.band_hi[b]; ++k)
+      for (int k = bank->band_lo[b]; k < bank->band_hi[b]; ++k)
         acc += w[k] * power[k];
       if (acc < FLT_EPSILON) acc = FLT_EPSILON;
       row[b] = static_cast<float>(log(acc));

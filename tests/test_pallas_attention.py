@@ -164,3 +164,16 @@ def test_batch_group_vmem_budget():
     # f32, N=513 (AudioSet length): fwd <= 4, bwd <= 2
     assert _batch_group(128, 513, 4, n_io_blocks=4) <= 4
     assert _batch_group(128, 513, 4, n_io_blocks=7) <= 2
+
+
+def test_supports_vmem_feasibility():
+    """With the sequence length given, supports() also rejects geometries
+    whose (n, n) probability tiles + io blocks cannot fit VMEM even at
+    group 1 — the caller then takes the XLA path instead of dying in the
+    Mosaic compiler."""
+    from tpat_tpu.ops.pallas_attention import supports
+
+    assert supports(12, 64, 257, 2)  # ViT-B ESC-50
+    assert supports(12, 64, 513, 2)  # AudioSet geometry
+    assert not supports(12, 64, 1300, 2)  # probability tiles blow VMEM
+    assert not supports(12, 64, 1214, 4)  # stride-10 overlap, f32

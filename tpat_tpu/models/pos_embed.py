@@ -32,8 +32,12 @@ def sincos_2d(
     embed_dim: int, grid_hw: Tuple[int, int], cls_token: bool = False
 ) -> np.ndarray:
     """2D sin-cos embedding over an (H, W) grid, row-major (h outer, w
-    inner), first half of channels encodes h, second half w
-    (``util/pos_embed.py:38-64``)."""
+    inner).  NOTE the reference quirk replicated bit-exactly
+    (``util/pos_embed.py:38-64``): ``np.meshgrid(grid_w, grid_h)`` puts
+    the W coordinates in ``grid[0]``, and the "emb_h" variable name there
+    (and here) actually holds the W encoding — so the FIRST half of the
+    channels encodes w, the second half h.  Do not "fix" this: every
+    imported AudioMAE checkpoint was trained against this layout."""
     h, w = grid_hw
     grid_h = np.arange(h, dtype=np.float32)
     grid_w = np.arange(w, dtype=np.float32)

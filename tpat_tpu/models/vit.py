@@ -175,7 +175,7 @@ class PrunedAttention(nn.Module):
         if (
             cfg.attention_impl == "fused"
             and token_mask is None
-            and fused_supports(h, dh)
+            and fused_supports(h, dh, n, _dtype(cfg).itemsize)
         ):
             # Packed fast path: the fused kernel consumes the Dense output
             # layout directly — no head split/merge transposes at all.

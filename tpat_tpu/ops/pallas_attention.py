@@ -65,8 +65,24 @@ def _batch_group(
     return 1
 
 
-def supports(num_heads: int, head_dim: int) -> bool:
-    return LANES % head_dim == 0 and (num_heads * head_dim) % LANES == 0
+def supports(
+    num_heads: int, head_dim: int, n: Optional[int] = None,
+    itemsize: int = 2,
+) -> bool:
+    """Layout feasibility — and, when ``n`` is given, VMEM feasibility.
+
+    The kernels hold ~2 (n, n) f32 probability tiles plus double-buffered
+    (g, n, 128) io blocks; past n ≈ 1200 even g=1 exceeds the ~12 MB
+    budget, and without this check the caller would launch a pallas_call
+    that dies in the Mosaic compiler instead of falling back to XLA.
+    Checked against the worst case (the backward's 7 io blocks)."""
+    if LANES % head_dim != 0 or (num_heads * head_dim) % LANES != 0:
+        return False
+    if n is not None:
+        budget = 12 * 1024 * 1024 - 2 * n * n * 4
+        if budget <= 0 or 7 * n * LANES * itemsize * 2 > budget:
+            return False
+    return True
 
 
 def _qkv_kernel(
@@ -118,7 +134,7 @@ def _fused_qkv_impl(
     b, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
-    assert supports(num_heads, d), (num_heads, d)
+    assert supports(num_heads, d, n, qkv.dtype.itemsize), (num_heads, d, n)
     hpb = LANES // d  # heads per 128-lane block
     hb = c // LANES  # lane blocks per q/k/v section
     g = _batch_group(b, n, qkv.dtype.itemsize, n_io_blocks=4)
@@ -406,7 +422,7 @@ def fused_attention_with_scores(
     def merge(x):
         return x.transpose(0, 2, 1, 3).reshape(b, n, c)
 
-    if supports(h, d):
+    if supports(h, d, n, q.dtype.itemsize):
         qkv = jnp.concatenate([merge(q), merge(k), merge(v)], axis=-1)
         out, scores = fused_qkv_attention(qkv, h, mode, num_extra_tokens)
         return out.reshape(b, n, h, d).transpose(0, 2, 1, 3), scores
