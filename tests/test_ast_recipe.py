@@ -76,3 +76,41 @@ def test_hard_ce_matches_torch():
         )
     )
     assert abs(got - want) < 1e-6
+
+
+def test_ast_lr_warmup_milestone_overlap_torch_oracle():
+    """When the 1000-step warmup spans milestone epochs (the small-recipe
+    regime: esc50 has ~33 iters/epoch), torch's MultiStepLR decays are
+    OVERWRITTEN by the next 50-step warmup write — the effective
+    post-warmup lr is ~base, not base*gamma^k.  Replicate torch exactly."""
+    import torch
+
+    base, gamma = 1e-3, 0.85
+    iters, n_epochs = 33, 40
+    start, step_sz = 5, 1
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=base)
+    sched = torch.optim.lr_scheduler.MultiStepLR(
+        opt, list(range(start, 1000, step_sz)), gamma=gamma
+    )
+    want = []
+    gstep = 0
+    for _e in range(1, n_epochs + 1):
+        for _i in range(iters):
+            if gstep <= 1000 and gstep % 50 == 0:
+                for g in opt.param_groups:
+                    g["lr"] = gstep / 1000 * base
+            want.append(opt.param_groups[0]["lr"])
+            gstep += 1
+        sched.step()
+
+    tc = TrainConfig(
+        optimizer="ast_adam", lr=base, warmup=True,
+        lrscheduler_start=start, lrscheduler_step=step_sz,
+        lrscheduler_decay=gamma, epochs=n_epochs, epoch_base=1,
+        batch_size=8,
+    )
+    lr_fn = opt_lib.make_ast_lr_fn(tc, iters_per_epoch=iters)
+    got = [float(lr_fn(jnp.asarray(s))) for s in range(iters * n_epochs)]
+    np.testing.assert_allclose(got, want, rtol=1e-6)

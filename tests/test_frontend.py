@@ -78,3 +78,28 @@ def test_device_spec_masking_floor_semantics():
             widths.add(zero_cols)
             assert zero_cols <= 1, zero_cols
     assert widths == {0, 1}  # both outcomes occur across draws
+
+
+def test_device_noise_aug_per_sample():
+    """Noise scale and time roll are drawn PER SAMPLE (dataset.py:299-301
+    draws per clip), not once per batch."""
+    from tpat_tpu.ops.frontend import FrontendConfig, device_frontend
+
+    cfg = FrontendConfig(
+        target_length=64, norm_mean=0.0, norm_std=0.5, noise=True,
+        freqm=0, timem=0,
+    )
+    waves = np.tile(
+        np.clip(np.random.default_rng(0).normal(size=(1, 16000)) * 0.2, -1, 1),
+        (8, 1),
+    ).astype(np.float32)  # identical clips
+    out = np.asarray(
+        jax.jit(lambda w, r: device_frontend(w, cfg, rng=r, train=True))(
+            jnp.asarray(waves), jax.random.PRNGKey(0)
+        )
+    )
+    # identical inputs + per-sample noise/roll -> pairwise different mels
+    diffs = [
+        np.abs(out[i] - out[0]).max() > 1e-4 for i in range(1, 8)
+    ]
+    assert sum(diffs) >= 6, diffs

@@ -392,3 +392,62 @@ def test_mae_meta_mlp_dropout(rng):
     a = run(jax.random.PRNGKey(3))
     b = run(jax.random.PRNGKey(4))
     assert a != b
+
+
+def test_random_masking_2d_large_grid_offset():
+    """The reference's 999 offset only works because its grid is 512
+    positions; with > 999 patches the offset must still sort every masked
+    token after every unmasked one."""
+    import dataclasses
+
+    cfg = MAEConfig(
+        embed_dim=32, depth=1, num_heads=2, decoder_embed_dim=32,
+        decoder_depth=1, decoder_num_heads=2, decoder_mode=0,
+        target_length=2048, num_mel_bins=128,  # grid (128, 8) = 1024 > 999
+    )
+    model = MaskedAutoencoderViT(cfg)
+    t, f = cfg.grid
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, t * f, 32)).astype(np.float32)
+    )
+    xm, mask, ids_restore = model.random_masking_2d(
+        x, 0.5, 0.25, jax.random.PRNGKey(0)
+    )
+    m = np.asarray(mask)
+    keep = xm.shape[1]
+    # every kept row must be an UNMASKED position's features
+    ids = np.argsort(np.asarray(ids_restore), axis=1)[:, :keep]  # ids_keep
+    for b in range(2):
+        assert (m[b][ids[b]] == 0).all()
+
+
+def test_mae_bfloat16_pretrain_step(rng):
+    """compute_dtype='bfloat16' runs encoder AND swin decoder in bf16
+    (finite loss, f32 prediction head) — previously the decoder silently
+    stayed f32."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_mae(1), compute_dtype="bfloat16")
+    model = MaskedAutoencoderViT(cfg)
+    imgs = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        imgs, 0.75,
+    )["params"]
+    loss, pred, _ = model.apply(
+        {"params": params}, imgs, 0.75,
+        rngs={"masking": jax.random.PRNGKey(2)},
+    )
+    assert pred.dtype == jnp.float32  # decoder_pred head stays f32
+    assert np.isfinite(float(loss))
+    g = jax.grad(
+        lambda p: model.apply(
+            {"params": p}, imgs, 0.75,
+            rngs={"masking": jax.random.PRNGKey(2)},
+        )[0]
+    )(params)
+    gmax = max(
+        float(np.abs(np.asarray(x)).max())
+        for x in jax.tree_util.tree_leaves(g)
+    )
+    assert np.isfinite(gmax) and gmax > 0.0

@@ -369,3 +369,34 @@ def test_evaluate_multilabel_with_extraction(tmp_path):
     assert mel.shape[0] == 8
     assert combine_feature_dict(str(tmp_path), "block-1.topk_idx") is not None
     assert combine_feature_dict(str(tmp_path), "labels") == ["temp"] * 8
+
+
+def test_eval_loss_weights_batches_equally():
+    """The reference reports the eval CE loss as an unweighted mean of
+    PER-BATCH losses (metric_logger.update(loss=...) with n=1,
+    engine_finetune.py:194), so a ragged last batch counts the same as a
+    full one."""
+    from tpat_tpu.engine import evaluate as eval_lib
+
+    cfg = tiny_cfg(drop_loc=(), drop_path_rate=0.0)
+    model = AudioViT(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(7, 1, 64, 32)).astype(np.float32)  # 4 + 3 split
+    y = np.eye(4, dtype=np.float32)[rng.integers(0, 4, size=7)]
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(x[:1])
+    )["params"]
+
+    stats = eval_lib.evaluate_classification(
+        model, params, [(x[:4], y[:4]), (x[4:], y[4:])], batch_size=4
+    )
+
+    logits = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    tgt = np.argmax(y, axis=1)
+    l1 = -np.mean(logp[np.arange(4), tgt[:4]])
+    l2 = -np.mean(logp[np.arange(4, 7), tgt[4:]])
+    np.testing.assert_allclose(stats["loss"], (l1 + l2) / 2.0, rtol=1e-5)
+    # and NOT the per-sample mean (they differ on ragged splits)
+    per_sample = -np.mean(logp[np.arange(7), tgt])
+    assert abs(stats["loss"] - per_sample) > 1e-9

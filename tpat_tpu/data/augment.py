@@ -58,25 +58,26 @@ def spec_masking(
     """SpecAug on a (T, F) fbank (torchaudio ``_mask_along_axis``
     semantics, one mask each): draw continuous value ~ U[0, param) and
     min ~ U[0, size - value), then mask [int(min), int(min) + int(value))
-    — start and width floored separately, exactly as torchaudio's
+    — start and width truncated separately, exactly as torchaudio's
     ``min_value.long() + value.long()``."""
     fbank = fbank.copy()
     t, f = fbank.shape
 
     def band(size, param):
+        # torchaudio does NOT clamp param to the axis at the transforms'
+        # default p=1.0 (_get_mask_param); value > size makes the start
+        # draw negative, and .long() truncates toward zero
         value = rng.uniform(0.0, param)
-        if value >= size:
-            return 0, 0
-        min_v = rng.uniform(0.0, size - value)
-        start = int(min_v)
+        min_v = rng.random() * (size - value)
+        start = int(min_v)  # trunc-toward-zero, like Tensor.long()
         return start, start + int(value)
 
     if freqm > 0:
         s, e = band(f, freqm)
-        fbank[:, s:e] = mask_value
+        fbank[:, max(s, 0) : max(e, 0)] = mask_value
     if timem > 0:
         s, e = band(t, timem)
-        fbank[s:e, :] = mask_value
+        fbank[max(s, 0) : max(e, 0), :] = mask_value
     return fbank
 
 

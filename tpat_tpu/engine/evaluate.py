@@ -39,7 +39,15 @@ def make_eval_step(
     if intensity_band is not None:
         # intensity-band drop ablation (models_vit.py:353-385): masked path
         # with the band applied after the chosen block; returns
-        # (logits, kept_counts) so callers skip empty samples.
+        # (logits, kept_counts) so callers skip empty samples.  The band
+        # forward cannot extract features or take a custom rank — reject
+        # the combination loudly rather than silently dropping the other
+        # flag (the reference's own ablation runs never combine them).
+        if extract_features or custom_rank is not None:
+            raise ValueError(
+                "intensity_band cannot be combined with feature "
+                "extraction or custom_rank"
+            )
         lo, hi, blk = intensity_band
 
         def fwd_band(params, x):
@@ -120,7 +128,8 @@ def _run_batches(
         pending = (out, n, y, bidx)
     if pending is not None:
         drain(pending)
-    return np.concatenate(all_logits), np.concatenate(all_targets)
+    sizes = [len(a) for a in all_logits]
+    return np.concatenate(all_logits), np.concatenate(all_targets), sizes
 
 
 def evaluate_classification(
@@ -142,14 +151,25 @@ def evaluate_classification(
         custom_rank=custom_rank, intensity_band=intensity_band,
         preprocess=preprocess,
     )
-    logits, targets = _run_batches(
+    logits, targets, sizes = _run_batches(
         step, params, batches, batch_size, mesh, feature_writer,
         index_to_name, band_mode=intensity_band is not None,
     )
     tgt_idx = np.argmax(targets, axis=1)
     acc1, acc5 = metrics_lib.topk_accuracy(logits, tgt_idx, ks=(1, 5))
-    logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
-    loss = float(-jnp.mean(logp[jnp.arange(len(tgt_idx)), tgt_idx]))
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    # the reference's reported loss is an UNWEIGHTED mean of per-batch CE
+    # losses (metric_logger.update(loss=...) with n=1,
+    # engine_finetune.py:194) — a ragged last batch therefore weighs the
+    # same as a full one; replicate that rather than a per-sample mean
+    per_batch, off = [], 0
+    for s in sizes:
+        if s == 0:
+            continue  # band mode can empty a batch; reference skips it
+        idx = np.arange(off, off + s)
+        per_batch.append(float(-np.mean(logp[idx, tgt_idx[idx]])))
+        off += s
+    loss = float(np.mean(per_batch)) if per_batch else 0.0
     return {"acc1": float(acc1), "acc5": float(acc5), "loss": loss}
 
 
@@ -167,7 +187,7 @@ def evaluate_multilabel(
         model, mesh, extract_features=feature_writer is not None,
         preprocess=preprocess,
     )
-    logits, targets = _run_batches(
+    logits, targets, _sizes = _run_batches(
         step, params, batches, batch_size, mesh, feature_writer
     )
     return {"mAP": metrics_lib.mean_average_precision(logits, targets)}

@@ -126,24 +126,44 @@ def make_ast_optimizer(
 
 
 def make_ast_lr_fn(train_cfg: TrainConfig, iters_per_epoch: int) -> Callable:
-    """MultiStepLR(milestones=range(start, 1000, step), gamma=decay) stepped
-    per epoch + the manual warmup that sets lr=(step/1000)*base every 50
-    steps while step <= 1000 (traintest.py:95, 160-164)."""
+    """Exact step-by-step replica of the reference AST LR machinery
+    (traintest.py:95, 160-164, 249): MultiStepLR over milestones
+    range(start, 1000, step) multiplies the CURRENT param-group lr by
+    gamma at each milestone epoch's end, while the manual warmup
+    OVERWRITES the group lr with (global_step/1000)*base at every 50th
+    step up to 1000.  These interact — a milestone decay that fires while
+    warmup is still writing is wiped out by the next 50-step write, and
+    milestones stop at epoch 999 — so a closed form over milestone counts
+    is wrong whenever warmup spans milestone epochs (it does in the small
+    recipes).  The torch loop is simulated once on the host into a
+    per-step table; lr_fn(step) indexes it with the traced step."""
     base = train_cfg.lr if train_cfg.lr is not None else train_cfg.blr
     start = train_cfg.lrscheduler_start
     step_sz = max(train_cfg.lrscheduler_step, 1)
     gamma = train_cfg.lrscheduler_decay
+    milestones = set(range(start, 1000, step_sz))
+    iters = max(iters_per_epoch, 1)
+    n_epochs = max(train_cfg.epochs, 1)
+
+    lr = base
+    table = []
+    gstep = 0  # torch global_step: 0 before the first batch
+    for e in range(train_cfg.epoch_base, train_cfg.epoch_base + n_epochs):
+        for _ in range(iters):
+            if (
+                train_cfg.warmup
+                and gstep <= train_cfg.warmup_steps
+                and gstep % 50 == 0
+            ):
+                lr = gstep / train_cfg.warmup_steps * base
+            table.append(lr)
+            gstep += 1
+        if e in milestones:  # scheduler.step() at epoch end
+            lr *= gamma
+    tbl = jnp.asarray(table, jnp.float32)
 
     def lr_fn(step):
-        epoch = step // iters_per_epoch + train_cfg.epoch_base
-        completed = epoch - 1  # scheduler.step() runs at epoch end
-        count = jnp.maximum(0, (completed - start) // step_sz + 1)
-        count = jnp.where(completed >= start, count, 0)
-        lr = base * gamma ** count.astype(jnp.float32)
-        if train_cfg.warmup:
-            warm = (50.0 * (step // 50)) / train_cfg.warmup_steps * base
-            lr = jnp.where(step <= train_cfg.warmup_steps, warm, lr)
-        return lr
+        return tbl[jnp.clip(step, 0, len(table) - 1)]
 
     return lr_fn
 

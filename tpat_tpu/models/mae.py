@@ -32,7 +32,7 @@ Unlike the reference, a runnable pretraining driver is provided
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -173,6 +173,7 @@ class WindowAttentionV2(nn.Module):
     num_heads: int
     window: Tuple[int, int]
     meta_hidden_dim: int = 384
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -184,9 +185,13 @@ class WindowAttentionV2(nn.Module):
         h = self.num_heads
         wh, ww = self.window
         assert n == wh * ww
-        qkv = nn.Dense(3 * c, name="qkv", kernel_init=_xavier)(x)
+        qkv = nn.Dense(3 * c, name="qkv", kernel_init=_xavier,
+                       dtype=self.dtype)(x)
         qkv = qkv.reshape(b, n, 3, h, c // h).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # cosine/softmax math in f32 regardless of compute dtype
+        q = qkv[0].astype(jnp.float32)
+        k = qkv[1].astype(jnp.float32)
+        v = qkv[2]
 
         # cosine attention: F.normalize semantics (eps=1e-12 floor on norms)
         qn = q / jnp.maximum(
@@ -222,9 +227,10 @@ class WindowAttentionV2(nn.Module):
             logits = logits.reshape(b, h, n, n)
 
         p = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        return nn.Dense(c, name="proj", kernel_init=_xavier)(out)
+        return nn.Dense(c, name="proj", kernel_init=_xavier,
+                        dtype=self.dtype)(out)
 
 
 class SwinBlock(nn.Module):
@@ -240,6 +246,7 @@ class SwinBlock(nn.Module):
     window: Tuple[int, int]
     shift: Tuple[int, int]
     mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -257,7 +264,9 @@ class SwinBlock(nn.Module):
         h = h.reshape(b, t // wh, wh, f // ww, ww, d)
         h = h.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww, d)
         mask = _shift_attn_mask(self.feat_size, self.window, self.shift)
-        h = WindowAttentionV2(d, self.num_heads, self.window, name="attn")(
+        h = WindowAttentionV2(
+            d, self.num_heads, self.window, dtype=self.dtype, name="attn"
+        )(
             h, None if mask is None else jnp.asarray(mask),
             deterministic=deterministic,
         )
@@ -266,11 +275,13 @@ class SwinBlock(nn.Module):
         h = h.transpose(0, 1, 3, 2, 4, 5).reshape(b, t, f, d)
         if st or sf:
             h = jnp.roll(h, shift=(st, sf), axis=(1, 2))
-        x = x + nn.LayerNorm(epsilon=1e-6, name="norm1")(h.reshape(b, l, d))
+        x = x + nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(
+            h.reshape(b, l, d)
+        )
 
-        h = Mlp(int(d * self.mlp_ratio), d, 0.0, jnp.float32,
+        h = Mlp(int(d * self.mlp_ratio), d, 0.0, self.dtype,
                 kernel_init=_xavier, name="mlp")(x)
-        return x + nn.LayerNorm(epsilon=1e-6, name="norm2")(h)
+        return x + nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
 
 
 class MaskedAutoencoderViT(nn.Module):
@@ -293,9 +304,10 @@ class MaskedAutoencoderViT(nn.Module):
             Block(enc_cfg, block_id=i, drop_path_rate=0.0, name=f"blocks_{i}")
             for i in range(cfg.depth)
         ]
-        self.norm = nn.LayerNorm(epsilon=1e-6)
+        cdtype = jnp.dtype(cfg.compute_dtype)
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=cdtype)
 
-        self.decoder_embed = nn.Dense(dd, kernel_init=_xavier)
+        self.decoder_embed = nn.Dense(dd, kernel_init=_xavier, dtype=cdtype)
         self.mask_token = self.param("mask_token", _normal02, (1, 1, dd))
         dpos = pe.sincos_2d(dd, cfg.grid, cls_token=True)[None].astype(np.float32)
         self.decoder_pos_embed = self.param(
@@ -311,6 +323,7 @@ class MaskedAutoencoderViT(nn.Module):
                     window=cfg.window_size,
                     shift=(0, 0) if i % 2 == 0 else (2, 0),
                     mlp_ratio=cfg.mlp_ratio,
+                    dtype=cdtype,
                     name=f"decoder_blocks_{i}",
                 )
                 for i in range(cfg.decoder_depth)
@@ -321,9 +334,10 @@ class MaskedAutoencoderViT(nn.Module):
                       name=f"decoder_blocks_{i}")
                 for i in range(cfg.decoder_depth)
             ]
-        self.decoder_norm = nn.LayerNorm(epsilon=1e-6)
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-6, dtype=cdtype)
+        # prediction head stays f32: its output feeds the f32 MSE loss
         self.decoder_pred = nn.Dense(
-            cfg.patch_size ** 2, kernel_init=_xavier
+            cfg.patch_size ** 2, kernel_init=_xavier, dtype=jnp.float32
         )
 
     # -- patch math ------------------------------------------------------
@@ -384,8 +398,14 @@ class MaskedAutoencoderViT(nn.Module):
         mask_t = jnp.tile(mask_t[:, :, None], (1, 1, f))  # (B, T, F)
         mask = 1 - (1 - mask_t) * (1 - mask_f)
 
+        # The reference's literal offset is 999 (models_mae.py:289),
+        # valid because its grid is fixed at 64*8 = 512 < 999 positions;
+        # a generalized grid can exceed that, where 999 would let masked
+        # tokens sort ahead of unmasked ones.  max(999, t*f) is
+        # bit-identical for every reference geometry and correct beyond.
+        offset = float(max(999, t * f))
         id2res = jnp.arange(t * f, dtype=jnp.float32)[None, :].repeat(b, 0)
-        id2res = id2res + 999.0 * mask.reshape(b, -1)
+        id2res = id2res + offset * mask.reshape(b, -1)
         id2res2 = jnp.argsort(id2res, axis=1)
         ids_keep = id2res2[:, : len_keep_t * len_keep_f]
         x_masked = jnp.take_along_axis(x, ids_keep[..., None], axis=1)
@@ -401,8 +421,8 @@ class MaskedAutoencoderViT(nn.Module):
 
     def forward_encoder(self, x, mask_ratio, rng, mask_2d=False):
         cfg = self.cfg
-        pos = self._pos(self.pos_embed)
         x = self.patch_embed(x)
+        pos = self._pos(self.pos_embed).astype(x.dtype)
         x = x + pos[:, 1:, :]
         if mask_2d:
             x, mask, ids_restore = self.random_masking_2d(
@@ -410,7 +430,7 @@ class MaskedAutoencoderViT(nn.Module):
             )
         else:
             x, mask, ids_restore = self.random_masking(x, mask_ratio, rng)
-        cls = self.cls_token + pos[:, :1, :]
+        cls = self.cls_token.astype(x.dtype) + pos[:, :1, :]
         cls = jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[-1]))
         x = jnp.concatenate([cls, x], axis=1)
         for blk in self.blocks:
@@ -424,12 +444,12 @@ class MaskedAutoencoderViT(nn.Module):
         b = x.shape[0]
         n_mask = ids_restore.shape[1] + 1 - x.shape[1]
         mask_tokens = jnp.broadcast_to(
-            self.mask_token, (b, n_mask, cfg.decoder_embed_dim)
+            self.mask_token.astype(x.dtype), (b, n_mask, cfg.decoder_embed_dim)
         )
         x_ = jnp.concatenate([x[:, 1:, :], mask_tokens], axis=1)
         x_ = jnp.take_along_axis(x_, ids_restore[..., None], axis=1)
         x = jnp.concatenate([x[:, :1, :], x_], axis=1)
-        x = x + self._pos(self.decoder_pos_embed)
+        x = x + self._pos(self.decoder_pos_embed).astype(x.dtype)
 
         if cfg.decoder_mode == 1:
             x = x[:, 1:, :]  # swin decoder drops cls (models_mae.py:370-373)

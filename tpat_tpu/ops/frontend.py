@@ -46,23 +46,25 @@ def _spec_masking_device(mel, freqm, timem, rng):
     """SpecAug with traced widths/starts (static shapes), matching
     torchaudio ``_mask_along_axis`` exactly: draw continuous value ~
     U[0, param) and min ~ U[0, size - value), then mask the integer band
-    [floor(min), floor(min) + floor(value)) — torchaudio computes
+    [trunc(min), trunc(min) + trunc(value)) — torchaudio computes
     ``mask_end = min_value.long() + value.long()``, i.e. start and WIDTH
-    are floored separately (floor(min + value) would mask one extra bin
+    are truncated separately (trunc(min + value) would mask one extra bin
     whenever the fractional parts sum past 1), so the masked-bin
     distribution matches the host pipeline (dataset.py:290-297)."""
     b, t, f = mel.shape
     r1, r2, r3, r4 = jax.random.split(rng, 4)
 
     def band_mask(size, param, rw, rs, batch):
-        # torchaudio clamps mask_param to the axis size (_get_mask_param)
-        # before drawing; without it param > size would draw negative
-        # starts and diverge from the host distribution.
-        param = min(float(param), float(size))
+        # NO clamp of param to the axis size: torchaudio's _get_mask_param
+        # returns mask_param unmodified at the transforms' default p=1.0.
+        # With param > size, (size - width) goes negative and start draws
+        # negative — .long() truncates TOWARD ZERO (trunc, not floor), and
+        # the band [trunc(start), trunc(start)+trunc(width)) then clips
+        # against [0, size) naturally in the comparison below.
         width = jax.random.uniform(rw, (batch,)) * param
         start = jax.random.uniform(rs, (batch,)) * (size - width)
-        lo = jnp.floor(start)
-        hi = lo + jnp.floor(width)
+        lo = jnp.trunc(start)
+        hi = lo + jnp.trunc(width)
         idx = jnp.arange(size, dtype=jnp.float32)[None, :]
         inside = (idx >= lo[:, None]) & (idx < hi[:, None])
         return ~inside  # True where kept
@@ -109,10 +111,13 @@ def device_frontend(
     if train and cfg.noise:
         assert rng is not None
         r1, r2, r3 = jax.random.split(rng, 3)
-        mel = mel + jax.random.uniform(r1, mel.shape) * (
-            jax.random.uniform(r2, ()) / 10.0
-        )
-        shift = jax.random.randint(r3, (), -10, 10)
-        mel = jnp.roll(mel, shift, axis=1)
+        # PER-SAMPLE scale and roll, as the host pipeline draws them per
+        # clip (dataset.py:299-301) — batch-wide scalars would correlate
+        # the augmentation across the whole batch
+        scale = jax.random.uniform(r2, (b,)) / 10.0
+        mel = mel + jax.random.uniform(r1, mel.shape) * scale[:, None, None]
+        shift = jax.random.randint(r3, (b,), -10, 10)
+        rows = (jnp.arange(t)[None, :] - shift[:, None]) % t  # (B, T)
+        mel = jnp.take_along_axis(mel, rows[:, :, None], axis=1)
 
     return mel[:, None, :, :]
