@@ -354,3 +354,46 @@ def test_roll_mag_is_gain_only():
     np.testing.assert_allclose(ratio, ratio[0, 0], rtol=1e-5)
     g = float(ratio[0, 0])
     assert 0.5 <= g <= 1.5  # Beta(10,10) + 0.5
+
+
+def test_loader_propagates_worker_exception(corpus):
+    """A dataset failure must raise in the consumer (torch DataLoader
+    semantics), not hang the training loop forever."""
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("bad wav")
+            return (np.zeros((1, 4, 4), np.float32),
+                    np.zeros(2, np.float32), str(i))
+
+    dl = DataLoader(Boom(), batch_size=2, num_workers=2)
+    with pytest.raises(RuntimeError, match="bad wav"):
+        for _ in dl:
+            pass
+
+
+def test_loader_early_exit_no_leak(corpus):
+    """Breaking out of iteration mid-epoch must not leave the producer
+    thread parked forever on a full queue."""
+    import threading
+
+    class Slowish:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return (np.zeros((1, 4, 4), np.float32),
+                    np.zeros(2, np.float32), str(i))
+
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(DataLoader(Slowish(), batch_size=2, num_workers=2,
+                             prefetch=1))
+        next(it)
+        it.close()  # generator finally -> stop event
+    import time as _t
+    _t.sleep(0.5)  # let producers notice stop and exit
+    assert threading.active_count() <= before + 2

@@ -262,9 +262,9 @@ def test_logger_window_means(capsys):
     )
     assert math.isfinite(stats["loss"]) and math.isfinite(stats["grad_norm"])
     loss_lines = [l for l in lines if "loss:" in l]
-    assert len(loss_lines) == 2  # iters 0 and 2
-    # the two window means must average (weighted by window size) to the
-    # epoch mean: windows are [step0] and [steps1-2]; step3 is tail-only
+    # iters 0 and 2, plus the reference's final-iteration print at iter 3
+    # (util/misc.py:151)
+    assert len(loss_lines) == 3
     import re
 
     vals = [float(re.search(r"loss: (\d+\.\d+)", l).group(1)) for l in loss_lines]
@@ -400,3 +400,20 @@ def test_eval_loss_weights_batches_equally():
     # and NOT the per-sample mean (they differ on ragged splits)
     per_sample = -np.mean(logp[np.arange(7), tgt])
     assert abs(stats["loss"] - per_sample) > 1e-9
+
+
+def test_smoothed_value_median_and_final_log():
+    """torch.median takes the LOWER middle on even windows; log_every
+    also prints on the final iteration (util/misc.py:151)."""
+    from tpat_tpu.utils.logging import MetricLogger, SmoothedValue
+
+    sv = SmoothedValue(window_size=10)
+    for v in [1.0, 2.0, 3.0, 4.0]:
+        sv.update(v)
+    assert sv.median == 2.0  # not 3.0
+
+    lines = []
+    ml = MetricLogger(print_fn=lines.append)
+    list(ml.log_every(range(7), print_freq=3, header="h"))
+    # prints at i=0, 3, 6 (6 == total-1 is the final-iteration print)
+    assert sum("[6/7]" in l or "[6]" in l for l in lines) == 1

@@ -340,6 +340,7 @@ DATASET_PRESETS = {
         freqm=24,
         timem=96,
         mixup=0.0,
+        roll_mag_aug=True,  # ft_esc50.sh:21
     ),
     "spc2": DataConfig(
         name="spc2",
@@ -352,7 +353,8 @@ DATASET_PRESETS = {
         loss_type="bce",
         freqm=48,
         timem=48,
-        mixup=0.3,
+        mixup=0.5,  # ft_spc2.sh:25
+        roll_mag_aug=True,  # ft_spc2.sh:26
     ),
     "voxceleb1": DataConfig(
         name="voxceleb1",
@@ -365,6 +367,7 @@ DATASET_PRESETS = {
         loss_type="ce",
         freqm=48,
         timem=192,
+        roll_mag_aug=True,  # ft_voxceleb1.sh:30
     ),
 }
 
@@ -435,11 +438,29 @@ class TrainConfig:
     lrscheduler_decay: float = 0.5
     warmup: bool = False  # AST manual step-warmup flag
     warmup_steps: int = 1000
-    # AST passes it = epoch * iters_per_epoch to the keep-rate scheduler
-    # (constant within an epoch, traintest.py:168-173) and counts epochs
-    # from 1; AudioMAE anneals per iteration from epoch 0.
-    keep_rate_iter_mode: str = "per_iter"  # 'per_iter' | 'per_epoch'
+    # BOTH reference drivers pass it = epoch * iters_per_epoch to the
+    # keep-rate scheduler and never increment it inside the batch loop
+    # (engine_finetune.py:81, traintest.py:167) — the scheduled keep rate
+    # is CONSTANT within an epoch.  'per_iter' (anneal every iteration)
+    # is kept as an opt-in smoother variant, but the reference-faithful
+    # default is 'per_epoch'.
+    keep_rate_iter_mode: str = "per_epoch"  # 'per_epoch' | 'per_iter'
     epoch_base: int = 0
+
+    def __post_init__(self):
+        # main_finetune.py:511 asserts the two probs are equal; the engine
+        # applies one probability to both axes, so unequal values would
+        # silently train a different augmentation than configured.
+        if self.mask_t_prob != self.mask_f_prob:
+            raise ValueError(
+                f"mask_t_prob ({self.mask_t_prob}) must equal mask_f_prob "
+                f"({self.mask_f_prob}) (main_finetune.py:511)"
+            )
+        if self.keep_rate_iter_mode not in ("per_epoch", "per_iter"):
+            raise ValueError(
+                "keep_rate_iter_mode must be 'per_epoch' or 'per_iter', "
+                f"got {self.keep_rate_iter_mode!r}"
+            )
 
     def resolved_lr(self, eff_batch_size: int) -> float:
         if self.lr is not None:

@@ -66,14 +66,31 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that re-checks stop: an abandoned iterator (NaN
+            # abort, early break) would otherwise leave the producer parked
+            # forever in q.put() on a full queue, leaking the thread pool
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.dataset.__getitem__, b))
-                    q.put(_collate(items))
-            q.put(None)
+            try:
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, b))
+                        if not put(_collate(items)):
+                            return
+            except BaseException as e:  # propagate, don't hang the consumer
+                put(e)
+                return
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -82,6 +99,10 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    # re-raise a dataset/worker failure in the caller,
+                    # like torch DataLoader propagates worker exceptions
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -385,8 +385,20 @@ class TrainModule:
                         cfg.base_keep_rate if b in cfg.drop_loc else 1.0
                         for b in range(self.model_cfg.depth)
                     )
+                    all_ones = (1.0,) * self.model_cfg.depth
                     if bucketed == baked:
                         bstep = self.compiled_step("static", 0.0)
+                    elif (
+                        bucketed == all_ones
+                        and cfg.mask_t_prob == 0.0
+                        and self.preprocess is None
+                    ):
+                        # the top bucket (no pruning yet) is the same
+                        # computation as the dense-phase step when that
+                        # step carries no 2D masking and no on-device
+                        # SpecAug — reuse its compile-cache key instead
+                        # of tracing a duplicate all-ones static step
+                        bstep = self.compiled_step("dense", 0.0)
                     else:
                         bstep = self.compiled_step(
                             "static", 0.0, static_rates=bucketed

@@ -32,8 +32,10 @@ class SmoothedValue:
 
     @property
     def median(self) -> float:
+        # torch.median returns the LOWER middle element for even sizes
+        # (util/misc.py SmoothedValue), not the upper one
         d = sorted(self.deque)
-        return d[len(d) // 2] if d else 0.0
+        return d[(len(d) - 1) // 2] if d else 0.0
 
     @property
     def avg(self) -> float:
@@ -101,7 +103,11 @@ class MetricLogger:
             data_time.update(time.time() - end)
             yield obj
             iter_time.update(time.time() - end)
-            if print_freq and i % print_freq == 0:
+            # the reference also prints on the FINAL iteration so the
+            # last partial window of an epoch is logged (util/misc.py:151)
+            if print_freq and (
+                i % print_freq == 0 or (total and i == total - 1)
+            ):
                 if total:
                     eta = iter_time.global_avg * (total - i)
                     eta_str = str(datetime.timedelta(seconds=int(eta)))
