@@ -30,15 +30,7 @@ from pathlib import Path
 
 import numpy as np
 
-
-def str2bool(v):
-    if isinstance(v, bool):
-        return v
-    if v.lower() in ("yes", "true", "t", "y", "1"):
-        return True
-    if v.lower() in ("no", "false", "f", "n", "0"):
-        return False
-    raise argparse.ArgumentTypeError("Boolean value expected.")
+from tpat_tpu.cli import str2bool
 
 
 def get_args_parser():

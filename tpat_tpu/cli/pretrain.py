@@ -18,15 +18,7 @@ from pathlib import Path
 
 import numpy as np
 
-
-def str2bool(v):
-    if isinstance(v, bool):
-        return v
-    if v.lower() in ("yes", "true", "t", "y", "1"):
-        return True
-    if v.lower() in ("no", "false", "f", "n", "0"):
-        return False
-    raise argparse.ArgumentTypeError("boolean value expected")
+from tpat_tpu.cli import str2bool
 
 
 def get_args_parser():
@@ -223,12 +215,11 @@ def main(args):
             args.save_every_epochs > 0
             and (epoch + 1) % args.save_every_epochs == 0
         ) or epoch == args.epochs - 1:
+            import types
 
-            class _S:  # minimal state envelope for save_checkpoint
-                pass
-
-            s = _S()
-            s.params, s.opt_state, s.step = params, opt_state, step
+            s = types.SimpleNamespace(
+                params=params, opt_state=opt_state, step=step
+            )
             ckpt_lib.save_checkpoint(
                 str(out / f"checkpoint-{epoch:03d}"), s, epoch
             )

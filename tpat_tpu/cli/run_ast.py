@@ -13,11 +13,7 @@ import os
 
 import numpy as np
 
-
-def str2bool(v):
-    if isinstance(v, bool):
-        return v
-    return str(v).lower() in ("yes", "true", "t", "y", "1")
+from tpat_tpu.cli import str2bool
 
 
 def get_parser():

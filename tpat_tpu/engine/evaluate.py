@@ -86,10 +86,6 @@ def _run_batches(
     pending = None  # (device_out, n, y, bidx): fetch one batch behind so
     # device compute overlaps host transfers/feature writing
 
-    def drain(pending):
-        out, n, y, bidx = pending
-        _consume(out, n, y, bidx)
-
     def _consume(out, n, y, bidx):
         if band_mode:
             logits, kept = out
@@ -124,10 +120,10 @@ def _run_batches(
             x = mesh_lib.shard_batch(mesh, x)
         out = eval_step(params, jnp.asarray(x))
         if pending is not None:
-            drain(pending)
+            _consume(*pending)
         pending = (out, n, y, bidx)
     if pending is not None:
-        drain(pending)
+        _consume(*pending)
     sizes = [len(a) for a in all_logits]
     return np.concatenate(all_logits), np.concatenate(all_targets), sizes
 

@@ -352,6 +352,28 @@ class TrainModule:
             check_from = i + 1
             return host_acc
 
+        # loop-invariant anneal constants; (kr, nl) device arrays memoized
+        # by rate tuple so per_epoch mode reuses one pair all epoch
+        baked = tuple(
+            cfg.base_keep_rate if b in cfg.drop_loc else 1.0
+            for b in range(self.model_cfg.depth)
+        )
+        all_ones = (1.0,) * self.model_cfg.depth
+        rate_arrays = {}
+
+        def masked_args(rates):
+            if rates not in rate_arrays:
+                rate_arrays[rates] = (
+                    jnp.asarray(rates, dtype=jnp.float32),
+                    jnp.asarray(
+                        schedules.masked_kept_counts(
+                            rates, cfg.drop_loc, self.model_cfg.num_patches
+                        ),
+                        dtype=jnp.int32,
+                    ),
+                )
+            return rate_arrays[rates]
+
         for i, (x, y) in enumerate(batches):
             if self.mesh is not None:
                 x, y = mesh_lib.shard_batch(self.mesh, (x, y))
@@ -381,11 +403,6 @@ class TrainModule:
                     # model's baked per-block defaults) — share its cache
                     # key so the shrink->static transition costs no extra
                     # TPU compile (~3-4 min each on the remote relay).
-                    baked = tuple(
-                        cfg.base_keep_rate if b in cfg.drop_loc else 1.0
-                        for b in range(self.model_cfg.depth)
-                    )
-                    all_ones = (1.0,) * self.model_cfg.depth
                     if bucketed == baked:
                         bstep = self.compiled_step("static", 0.0)
                     elif (
@@ -405,13 +422,7 @@ class TrainModule:
                         )
                     state, acc, metrics = bstep(state, acc, x, y)
                 else:
-                    kr = jnp.asarray(rates, dtype=jnp.float32)
-                    nl = jnp.asarray(
-                        schedules.masked_kept_counts(
-                            rates, cfg.drop_loc, self.model_cfg.num_patches
-                        ),
-                        dtype=jnp.int32,
-                    )
+                    kr, nl = masked_args(rates)
                     state, acc, metrics = step_fn(state, acc, x, y, kr, nl)
             else:
                 state, acc, metrics = step_fn(state, acc, x, y)
