@@ -22,6 +22,7 @@ for fold in 1 2 3 4 5; do
     --lrscheduler_start 5 --lrscheduler_step 1 --lrscheduler_decay 0.85 \
     --base_keep_rate ${base_keep_rate} --drop_loc "(3, 6, 9)" \
     --shrink_start_epoch 5 --shrink_epochs 10 \
+    --imagenet_pretrain True --audioset_pretrain True \
     --audioset_pretrained_model_path ${pretrained} \
     --exp-dir ${exp}/fold-${fold}
 done

@@ -101,10 +101,12 @@ def test_run_ast_cli(corpus, tmp_path):
         "--lr", "1e-4", "--warmup", "True",
         "--lrscheduler_start", "5", "--drop_loc", "(1, 3)",
         "--base_keep_rate", "0.6",
+        "--imagenet_pretrain", "False",  # from-scratch branch
         "--exp-dir", str(exp), "-w", "2",
     ]
     score = main(get_parser().parse_args(argv))
     assert 0.0 <= score <= 1.0
+    assert (exp / "args.yaml").exists()  # provenance dump (run.py:223-224)
     assert (exp / "result.csv").exists()
     assert (exp / "best_result.csv").exists()
     assert (exp / "progress.pkl").exists()
@@ -341,6 +343,7 @@ def test_run_ast_eval_requires_checkpoint(corpus, tmp_path):
         "--label-csv", str(corpus / "labels.csv"),
         "--n_class", "4", "-b", "8", "--audio_length", "128",
         "--metrics", "acc", "--loss", "CE", "--drop_loc", "(1, 3)",
+        "--imagenet_pretrain", "False",
         "--exp-dir", str(tmp_path / "nope"), "--eval",
     ]
     with pytest.raises(FileNotFoundError, match="best checkpoint"):

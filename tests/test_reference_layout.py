@@ -394,3 +394,235 @@ def test_ast_timm_layout_import_end_to_end(tmp_path):
     out = model.apply({"params": params}, x)
     assert out.shape == (2, nc)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+# ---------------------------------------------------------------------------
+# AST ImageNet-DeiT construction branch (ast_models.py:273-330)
+# ---------------------------------------------------------------------------
+
+
+def _deit_surgery_torch(pos: torch.Tensor, f_dim: int, t_dim: int):
+    """The reference's DeiT pos-embed surgery restated in torch, line for
+    line from ``ast_models.py:308-325``: channel-first view of the square
+    grid, time axis cut-from-middle or F.interpolate(bilinear), then the
+    freq axis the same way."""
+    hw = int((pos.shape[1] - 2) ** 0.5)
+    d = pos.shape[2]
+    new = (
+        pos[:, 2:, :]
+        .reshape(1, hw * hw, d)
+        .transpose(1, 2)
+        .reshape(1, d, hw, hw)
+    )
+    if t_dim <= hw:
+        s = int(hw / 2) - int(t_dim / 2)
+        new = new[:, :, :, s : s + t_dim]
+    else:
+        new = torch.nn.functional.interpolate(
+            new, size=(hw, t_dim), mode="bilinear"
+        )
+    if f_dim <= hw:
+        s = int(hw / 2) - int(f_dim / 2)
+        new = new[:, :, s : s + f_dim, :]
+    else:
+        new = torch.nn.functional.interpolate(
+            new, size=(f_dim, t_dim), mode="bilinear"
+        )
+    new = new.reshape(1, d, f_dim * t_dim).transpose(1, 2)
+    return torch.cat([pos[:, :2, :], new], dim=1)
+
+
+@pytest.mark.parametrize("t_dim", [8, 32, 64])
+def test_deit_pos_embed_surgery_matches_reference_math(t_dim):
+    """deit_img2audio_pos_embed vs the torch restatement of
+    ast_models.py:308-325 on the real base384 geometry (24x24 grid, 768-d):
+    t_dim=8 exercises the center-cut branch (SPC), 32 and 64 the bilinear
+    branch (ESC-50 / AudioSet)."""
+    rng = np.random.default_rng(11)
+    pos = rng.normal(size=(1, 2 + 24 * 24, 768)).astype(np.float32)
+    want = _deit_surgery_torch(torch.from_numpy(pos.copy()), 8, t_dim).numpy()
+    got = pe.deit_img2audio_pos_embed(pos, f_dim=8, t_dim=t_dim)
+    assert got.shape == (1, 2 + 8 * t_dim, 768)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # extra-token rows pass through untouched
+    np.testing.assert_array_equal(got[:, :2], pos[:, :2])
+
+
+def _fake_deit_state_dict(rng, depth=4, d=192, hw=24):
+    """A synthetic timm ``vit_deit_base_distilled_patch16_384``-layout
+    state dict at test scale: RGB conv, square (hw, hw) pos grid, DeiT
+    classification heads the importer must discard."""
+    sd = {}
+
+    def put(k, shape, scale=0.05):
+        sd[k] = (rng.normal(size=shape) * scale).astype(np.float32)
+
+    put("cls_token", (1, 1, d))
+    put("dist_token", (1, 1, d))
+    put("pos_embed", (1, 2 + hw * hw, d))
+    put("patch_embed.proj.weight", (d, 3, 16, 16))
+    put("patch_embed.proj.bias", (d,))
+    for i in range(depth):
+        b = f"blocks.{i}"
+        put(f"{b}.norm1.weight", (d,), 1.0)
+        put(f"{b}.norm1.bias", (d,))
+        put(f"{b}.attn.qkv.weight", (3 * d, d), 0.3)
+        put(f"{b}.attn.qkv.bias", (3 * d,))
+        put(f"{b}.attn.proj.weight", (d, d))
+        put(f"{b}.attn.proj.bias", (d,))
+        put(f"{b}.norm2.weight", (d,), 1.0)
+        put(f"{b}.norm2.bias", (d,))
+        put(f"{b}.mlp.fc1.weight", (4 * d, d))
+        put(f"{b}.mlp.fc1.bias", (4 * d,))
+        put(f"{b}.mlp.fc2.weight", (d, 4 * d))
+        put(f"{b}.mlp.fc2.bias", (d,))
+    put("norm.weight", (d,), 1.0)
+    put("norm.bias", (d,))
+    # DeiT heads: present in the checkpoint, unused by AST (ast_models.py
+    # builds its own mlp_head at :292) — the importer must ignore them
+    put("head.weight", (1000, d))
+    put("head.bias", (1000,))
+    put("head_dist.weight", (1000, d))
+    put("head_dist.bias", (1000,))
+    return sd
+
+
+@pytest.mark.parametrize("tl", [128, 512])
+def test_deit_import_logit_parity(tl):
+    """The full ImageNet-DeiT construction branch: RGB-sum patch embed
+    (ast_models.py:301-305) + pos-embed surgery + fresh mlp_head, checked
+    for logit AND topk-index parity against a torch oracle built by the
+    restated reference surgery.  tl=128 hits the cut branch, tl=512 the
+    bilinear branch."""
+    from tests.torch_reference import RefModel
+
+    rng = np.random.default_rng(13)
+    d, depth, heads, nc = 192, 4, 3, 7
+    t_dim = tl // 16
+    sd_np = _fake_deit_state_dict(rng, depth=depth, d=d)
+
+    cfg = ViTConfig(
+        embed_dim=d, depth=depth, num_heads=heads, num_classes=nc,
+        target_length=tl, num_mel_bins=128,
+        num_extra_tokens=2, importance="cls", pooling="cls_dist",
+        pos_embed_mode="post_cat", use_final_norm=True,
+        frozen_pos_embed=False, drop_path_rate=0.0,
+        drop_loc=(1, 2), base_keep_rate=0.6, attention_impl="xla",
+    )
+    imported = ti.deit_params_from_state_dict(sd_np, cfg)
+    assert "mlp_head" not in imported and "head" not in imported
+
+    # RGB-sum conv check (ast_models.py:301-305)
+    want_kernel = sd_np["patch_embed.proj.weight"].sum(1, keepdims=True)
+    np.testing.assert_allclose(
+        imported["patch_embed"]["proj"]["kernel"],
+        want_kernel.transpose(2, 3, 1, 0),
+        rtol=0, atol=0,
+    )
+
+    # torch oracle with the surgically-constructed weights
+    tmodel = RefModel(
+        dim=d, depth=depth, num_heads=heads, num_classes=nc,
+        grid=(8, t_dim), num_extra_tokens=2, importance="cls",
+        pooling="cls_dist", use_final_norm=True,
+    )
+    tsd = tmodel.state_dict()
+    tsd["patch_embed.proj.weight"] = torch.from_numpy(want_kernel)
+    tsd["patch_embed.proj.bias"] = torch.from_numpy(
+        sd_np["patch_embed.proj.bias"]
+    )
+    tsd["pos_embed"] = _deit_surgery_torch(
+        torch.from_numpy(sd_np["pos_embed"]), 8, t_dim
+    )
+    tsd["cls_token"] = torch.from_numpy(sd_np["cls_token"])
+    tsd["dist_token"] = torch.from_numpy(sd_np["dist_token"])
+    for i in range(depth):
+        for k in (
+            "norm1.weight", "norm1.bias", "attn.qkv.weight",
+            "attn.qkv.bias", "attn.proj.weight", "attn.proj.bias",
+            "norm2.weight", "norm2.bias", "mlp.fc1.weight",
+            "mlp.fc1.bias", "mlp.fc2.weight", "mlp.fc2.bias",
+        ):
+            tsd[f"blocks.{i}.{k}"] = torch.from_numpy(
+                sd_np[f"blocks.{i}.{k}"]
+            )
+    tsd["norm.weight"] = torch.from_numpy(sd_np["norm.weight"])
+    tsd["norm.bias"] = torch.from_numpy(sd_np["norm.bias"])
+    # fresh mlp_head on both sides: randomize torch's, copy into jax
+    g = torch.Generator().manual_seed(5)
+    tsd["mlp_head.0.weight"] = torch.ones(d)
+    tsd["mlp_head.0.bias"] = torch.zeros(d)
+    tsd["mlp_head.1.weight"] = torch.randn((nc, d), generator=g) * 0.05
+    tsd["mlp_head.1.bias"] = torch.randn((nc,), generator=g) * 0.05
+    tmodel.load_state_dict(tsd)
+    tmodel = tmodel.eval()
+
+    jmodel = AudioViT(cfg)
+    x = rng.normal(size=(2, 1, 128, tl)).astype(np.float32)  # (B,1,F,T)
+    init = jmodel.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(x[:1])
+    )["params"]
+    params = ti.overlay_params(init, imported)
+    params["mlp_head_norm"] = {
+        "scale": np.ones(d, np.float32), "bias": np.zeros(d, np.float32)
+    }
+    params["mlp_head"] = {
+        "kernel": tsd["mlp_head.1.weight"].numpy().T.copy(),
+        "bias": tsd["mlp_head.1.bias"].numpy(),
+    }
+
+    kr = list(cfg.keep_rates)
+    with torch.no_grad():
+        want, tfeat = tmodel(torch.from_numpy(x), kr, collect=True)
+    got, jfeat = jmodel.apply(
+        {"params": params}, jnp.asarray(x), extract_features=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy(), rtol=1e-3, atol=5e-4
+    )
+    for i in cfg.drop_loc:
+        np.testing.assert_array_equal(
+            np.asarray(jfeat[f"block-{i}.topk_idx"]),
+            tfeat[f"block-{i}.topk_idx"].numpy(),
+        )
+
+
+def test_run_ast_pretrain_flags_change_behavior(tmp_path):
+    """The --imagenet_pretrain/--audioset_pretrain flags actually select
+    construction branches (they were parsed-and-dead pre-round-3):
+    from-scratch != DeiT-imported params, and audioset_pretrain without a
+    checkpoint fails like the reference's assert (ast_models.py:347-349)."""
+    from tpat_tpu.cli.run_ast import get_parser
+
+    base = [
+        "--dataset", "esc50", "--model_size", "base384",
+        "--n_class", "50", "--audio_length", "512",
+        "--metrics", "acc", "--loss", "CE",
+    ]
+    p = get_parser()
+    a = p.parse_args(base + ["--imagenet_pretrain", "False"])
+    assert a.imagenet_pretrain is False and a.audioset_pretrain is False
+    a = p.parse_args(
+        base + ["--imagenet_pretrain", "True", "--audioset_pretrain", "True"]
+    )
+    assert a.imagenet_pretrain is True and a.audioset_pretrain is True
+
+    # the DeiT branch consumes a real local checkpoint end-to-end
+    rng = np.random.default_rng(3)
+    sd = _fake_deit_state_dict(rng, depth=2, d=64)
+    pth = tmp_path / "deit.pth"
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, str(pth))
+    cfg = ViTConfig(
+        embed_dim=64, depth=2, num_heads=2, num_classes=4,
+        target_length=128, num_mel_bins=128,
+        num_extra_tokens=2, importance="cls", pooling="cls_dist",
+        pos_embed_mode="post_cat", use_final_norm=True,
+        frozen_pos_embed=False, drop_path_rate=0.0,
+        drop_loc=(1,), base_keep_rate=0.6, attention_impl="xla",
+    )
+    loaded = ti.deit_params_from_state_dict(
+        ti.load_torch_state_dict(str(pth)), cfg
+    )
+    np.testing.assert_allclose(
+        loaded["cls_token"], sd["cls_token"], rtol=0, atol=0
+    )

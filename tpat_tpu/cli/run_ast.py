@@ -62,6 +62,12 @@ def get_parser():
     p.add_argument("--extract_features_path", type=str, default=None)
     p.add_argument("--flag_extract_features", type=str2bool, default=False)
     p.add_argument("--audioset_pretrained_model_path", type=str, default=None)
+    # Beyond-reference: the reference fetches the DeiT ImageNet checkpoint
+    # through timm's downloader (ast_models.py:275); here the local .pth
+    # (a timm vit_deit_base_distilled_patch16_384 state_dict) is passed
+    # explicitly — consumed when --imagenet_pretrain True and
+    # --audioset_pretrain False.
+    p.add_argument("--imagenet_pretrained_model_path", type=str, default=None)
     p.add_argument("--eval", action="store_true")
     p.add_argument("--model_size", type=str, default="base384")
     p.add_argument("--seed", type=int, default=0)
@@ -155,8 +161,25 @@ def main(args):
     def init_params():
         x0 = jnp.zeros((1, 1, model_cfg.num_mel_bins, model_cfg.target_length))
         params = model.init({"params": jax.random.PRNGKey(args.seed)}, x0)["params"]
-        if args.audioset_pretrained_model_path:
-            sd = ti.load_torch_state_dict(args.audioset_pretrained_model_path)
+        # construction-branch selection mirrors ast_models.py:273-381:
+        # audioset_pretrain -> full AudioSet checkpoint (requires ImageNet
+        # pretraining underneath, :345); imagenet_pretrain alone -> DeiT
+        # surgery; neither -> from-scratch (fresh trunc-normal(0.02)
+        # pos-embed, :327-331 — exactly this model's cold init).
+        if args.audioset_pretrain:
+            if not args.imagenet_pretrain:
+                raise ValueError(
+                    "audioset_pretrain requires imagenet_pretrain=True "
+                    "(ast_models.py:344-345)"
+                )
+            path = args.audioset_pretrained_model_path
+            if not path or not os.path.exists(path):
+                # the reference hard-asserts on a missing checkpoint
+                # (ast_models.py:347-349)
+                raise FileNotFoundError(
+                    f"--audioset_pretrained_model_path {path!r} not found"
+                )
+            sd = ti.load_torch_state_dict(path)
             imported = ti.ast_params_from_state_dict(sd, model_cfg)
             # the reference's audioset-pretrain path ALWAYS constructs a
             # fresh mlp_head (LayerNorm + Linear, ast_models.py:352), even
@@ -164,7 +187,20 @@ def main(args):
             imported.pop("mlp_head", None)
             imported.pop("mlp_head_norm", None)
             params = ti.overlay_params(params, imported)
-            print(f"loaded AST checkpoint {args.audioset_pretrained_model_path}")
+            print(f"loaded AST checkpoint {path}")
+        elif args.imagenet_pretrain:
+            path = args.imagenet_pretrained_model_path
+            if not path or not os.path.exists(path):
+                raise FileNotFoundError(
+                    "--imagenet_pretrain True needs a local DeiT checkpoint "
+                    "via --imagenet_pretrained_model_path (the reference "
+                    "downloads vit_deit_base_distilled_patch16_384 through "
+                    f"timm, ast_models.py:275); got {path!r}"
+                )
+            sd = ti.load_torch_state_dict(path)
+            imported = ti.deit_params_from_state_dict(sd, model_cfg)
+            params = ti.overlay_params(params, imported)
+            print(f"loaded DeiT ImageNet checkpoint {path}")
         return params
 
     os.makedirs(args.exp_dir or ".", exist_ok=True)
@@ -225,6 +261,12 @@ def main(args):
             os.path.join(args.exp_dir, args.eval_result_path), [-1, score]
         )
         return score
+
+    # full-arg provenance dump before training (run.py:223-224)
+    import yaml
+
+    with open(os.path.join(args.exp_dir, "args.yaml"), "w") as f:
+        yaml.dump(vars(args), f)
 
     ds_train = AudiosetDataset(
         args.data_train, data_cfg, args.label_csv, train=True, seed=args.seed

@@ -159,6 +159,78 @@ def interpolate_img2audio_pos_embed(
     )
 
 
+def _bilinear_resize_torch(
+    grid: np.ndarray, out_hw: Tuple[int, int]
+) -> np.ndarray:
+    """(H, W, D) -> (out_h, out_w, D) replicating torch
+    ``F.interpolate(mode='bilinear', align_corners=False)`` exactly:
+    src = max((dst + 0.5) * in/out - 0.5, 0) — the non-cubic source-index
+    formula clamps negatives to 0 — then a separable 2-tap lerp with
+    edge-clamped taps.  Used by the AST DeiT pos-embed surgery
+    (``ast_models.py:315-323`` is bilinear, unlike the AudioMAE adapters'
+    bicubic)."""
+
+    def axis_weights(n_in, n_out):
+        dst = np.arange(n_out, dtype=np.float64)
+        src = (dst + 0.5) * (n_in / n_out) - 0.5
+        src = np.maximum(src, 0.0)
+        x0 = np.floor(src)
+        t = src - x0
+        w = np.stack([1.0 - t, t], 1)
+        idx = np.stack([x0, x0 + 1], 1).astype(np.int64)
+        return w, np.clip(idx, 0, n_in - 1)
+
+    h, w, _d = grid.shape
+    oh, ow = out_hw
+    wy, iy = axis_weights(h, oh)
+    wx, ix = axis_weights(w, ow)
+    g = grid.astype(np.float64)
+    rows = (g[iy] * wy[:, :, None, None]).sum(axis=1)  # (oh, W, D)
+    out = (rows[:, ix] * wx[None, :, :, None]).sum(axis=2)  # (oh, ow, D)
+    return out.astype(grid.dtype)
+
+
+def deit_img2audio_pos_embed(
+    pos_embed: np.ndarray,
+    f_dim: int,
+    t_dim: int,
+    num_extra_tokens: int = 2,
+) -> np.ndarray:
+    """AST ImageNet-DeiT pos-embed surgery (``ast_models.py:308-325``).
+
+    The DeiT-distilled checkpoint carries a square (24, 24) grid behind the
+    CLS + distill rows.  The reference views it channel-first as
+    (1, D, 24, 24) and adapts axis-by-axis, TIME first then FREQ:
+    an axis whose target fits inside 24 is center-CUT
+    (``[hw//2 - dim//2 : hw//2 - dim//2 + dim]``); a larger target is
+    torch-BILINEAR interpolated (the second interpolate passes
+    ``size=(f_dim, t_dim)`` after the time axis already reached t_dim, so
+    it only ever stretches freq).  Extra-token rows pass through.
+    """
+    d = pos_embed.shape[-1]
+    n = pos_embed.shape[1] - num_extra_tokens
+    hw = int(round(n ** 0.5))
+    if hw * hw != n:
+        raise ValueError(f"DeiT pos-embed grid is square; got {n} patches")
+    extras = pos_embed[:, :num_extra_tokens]
+    grid = pos_embed[:, num_extra_tokens:].reshape(hw, hw, d)
+    # time axis (grid W) — ast_models.py:315-318
+    if t_dim <= hw:
+        start = int(hw / 2) - int(t_dim / 2)
+        grid = grid[:, start : start + t_dim, :]
+    else:
+        grid = _bilinear_resize_torch(grid, (hw, t_dim))
+    # freq axis (grid H) — ast_models.py:320-323
+    if f_dim <= hw:
+        start = int(hw / 2) - int(f_dim / 2)
+        grid = grid[start : start + f_dim, :, :]
+    else:
+        grid = _bilinear_resize_torch(grid, (f_dim, t_dim))
+    return np.concatenate(
+        [extras, grid.reshape(1, f_dim * t_dim, d)], axis=1
+    )
+
+
 def sum_rgb_patch_embed(kernel: np.ndarray) -> np.ndarray:
     """RGB->1ch patch-embed adaptation by channel sum
     (``util/pos_embed.py:162-167``); kernel in flax layout (kh, kw, C, D)."""

@@ -190,6 +190,50 @@ def ast_params_from_state_dict(
     return params
 
 
+def deit_params_from_state_dict(
+    sd: Mapping[str, np.ndarray],
+    cfg: ViTConfig,
+) -> Dict:
+    """timm ``vit_deit_base_distilled_patch16_384`` state_dict -> flax
+    params for the AST trunk — the ImageNet-pretrain construction branch
+    (``ast_models.py:273-325``, ``audioset_pretrain=False,
+    imagenet_pretrain=True``):
+
+    - patch-embed: the RGB conv kernel is summed to 1 input channel
+      (``ast_models.py:301-305``), bias kept;
+    - pos-embed: the square DeiT grid (24x24 for base384) is adapted to
+      (f_dim, t_dim) by the center-cut / torch-BILINEAR surgery
+      (``pos_embed.deit_img2audio_pos_embed``);
+    - the DeiT classification heads (``head``/``head_dist``) are discarded
+      — AST always constructs a fresh LayerNorm+Linear ``mlp_head``
+      (``ast_models.py:292``), so this importer never emits one;
+    - trunk blocks, ``norm``, ``cls_token``/``dist_token`` pass through.
+    """
+    v = {k.removeprefix("v."): val for k, val in sd.items()}
+    depth = _depth_of(v, "blocks")
+    conv = _conv(v, "patch_embed.proj")
+    if conv["kernel"].shape[2] != 1:
+        conv["kernel"] = pe.sum_rgb_patch_embed(conv["kernel"])
+    params: Dict = {
+        "cls_token": v["cls_token"],
+        "dist_token": v["dist_token"],
+        "patch_embed": {"proj": conv},
+        "norm": _layernorm(v, "norm"),
+    }
+    for i in range(depth):
+        params[f"blocks_{i}"] = _block(v, f"blocks.{i}")
+
+    pos = pe.deit_img2audio_pos_embed(
+        v["pos_embed"], cfg.grid_f, cfg.grid_t, num_extra_tokens=2
+    )
+    if pos.shape[1] != cfg.num_patches + 2:
+        raise ValueError(
+            f"DeiT pos_embed rows {pos.shape[1]} != {cfg.num_patches + 2}"
+        )
+    params["pos_embed"] = pos
+    return params
+
+
 def _swin_v2_cr_block(sd: Mapping[str, np.ndarray], prefix: str) -> Dict:
     """timm ``SwinTransformerV2CrBlock`` state_dict -> flax ``SwinBlock``
     params.  Key layout per timm ``swin_transformer_v2_cr.py`` (the class the
