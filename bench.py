@@ -66,6 +66,58 @@ def measure_tpat() -> float:
     return BATCH / dt / n_chips
 
 
+def measure_train_step() -> float:
+    """Training-step time (ms) for the post-shrink static phase through
+    the REAL engine path (TrainModule.train_epoch): ViT-B keep 0.7,
+    ESC-50 geometry, batch 64, bf16, AdamW-LRD — the configuration
+    docs/BENCH_NOTES.md tracks.  Driver-visible so training regressions
+    show up in BENCH_r*.json, not just inference (VERDICT r2 #6)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpat_tpu.config import TrainConfig, audiomae_vit_base
+    from tpat_tpu.engine.train import TrainModule
+    from tpat_tpu.models.vit import AudioViT
+
+    batch, iters = 64, 20
+    cfg = audiomae_vit_base(
+        target_length=TARGET_LENGTH,
+        num_classes=50,
+        base_keep_rate=KEEP,
+        drop_loc=(3, 6, 9),
+        drop_path_rate=0.1,
+        compute_dtype="bfloat16",
+    )
+    tc = TrainConfig(
+        batch_size=batch, epochs=10, warmup_epochs=0,
+        shrink_start_epoch=0, shrink_epochs=0,  # static phase from epoch 0
+        base_keep_rate=KEEP, drop_loc=(3, 6, 9),
+    )
+    mod = TrainModule(
+        model=AudioViT(cfg), model_cfg=cfg, train_cfg=tc,
+        loss_type="ce", iters_per_epoch=iters, mesh=None,
+    )
+    gen = jax.jit(
+        lambda k: jax.random.normal(
+            k, (batch, 1, TARGET_LENGTH, 128), jnp.float32
+        )
+    )
+    x = gen(jax.random.PRNGKey(2))
+    y = jnp.eye(50, dtype=jnp.float32)[
+        jnp.asarray(np.random.default_rng(0).integers(0, 50, batch))
+    ]
+    float(jnp.sum(x))
+    state = mod.init(x)
+    batches = [(x, y)] * iters
+    state, _ = mod.train_epoch(state, batches, epoch=0)  # compile
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        state, _ = mod.train_epoch(state, batches, epoch=1 + rep)
+        best = min(best, (time.perf_counter() - t0) / iters * 1000)
+    return best
+
+
 # bump when the baseline methodology changes — stale caches re-measure
 BASELINE_VERSION = "v2-refmath-b32-i10"
 
@@ -176,11 +228,21 @@ def main():
     except Exception as e:  # baseline failure must not kill the bench
         print(f"baseline measurement failed: {e}", file=sys.stderr)
         baseline = None
+    try:
+        train_ms = round(measure_train_step(), 1)
+    except Exception as e:  # train probe failure must not kill the headline
+        print(f"train-step measurement failed: {e}", file=sys.stderr)
+        train_ms = None
     result = {
         "metric": "clips/sec/chip ViT-B keep0.7 ESC-50 eval (bf16, fused attention)",
         "value": round(value, 1),
         "unit": "clips/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
+        # secondary driver-visible metrics (one JSON line total)
+        "train_step_ms_b64_bf16_static": train_ms,
+        "train_clips_per_sec": (
+            round(64 / train_ms * 1000, 1) if train_ms else None
+        ),
     }
     print(json.dumps(result))
 

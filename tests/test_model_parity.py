@@ -393,3 +393,109 @@ def test_ast_mlp_head_torch_default_init():
     bound_b = 1.0 / np.sqrt(64)
     assert np.abs(b).max() <= bound_b * 1.0001
     assert np.abs(b).max() > 0.0  # not zeros
+
+
+@pytest.mark.parametrize(
+    "depth,drop_loc,base,exact,extra,importance,pooling,final_norm",
+    [
+        (4, (1, 3), 0.5, 0.77, 1, "patch_mean", "gap_fcnorm", False),
+        (5, (2, 4), 0.55, 0.61, 2, "cls", "cls_dist", True),
+        (3, (0,), 0.4, 0.95, 1, "patch_mean", "gap_fcnorm", False),
+        # exact == base: bucket snaps to the base level, widths == exact
+        (4, (1, 3), 0.5, 0.5, 1, "patch_mean", "gap_fcnorm", False),
+    ],
+)
+def test_hybrid_matches_masked_sweep(
+    depth, drop_loc, base, exact, extra, importance, pooling, final_norm
+):
+    """Property (VERDICT r2 #2): forward_hybrid — the exact traced anneal
+    schedule masked inside physically-pruned bucket-level shapes — must
+    reproduce forward_masked's logits for arbitrary mid-anneal keep rates.
+    Same kept sets and widths by construction; logits equal to float
+    tolerance (softmax reduction width differs, as in the masked-vs-static
+    sweep above)."""
+    from tpat_tpu.engine.schedules import bucket_keep_rates, masked_kept_counts
+
+    cfg = ViTConfig(
+        embed_dim=64,
+        depth=depth,
+        num_heads=2,
+        num_classes=6,
+        target_length=64,
+        num_mel_bins=32,
+        num_extra_tokens=extra,
+        importance=importance,
+        pooling=pooling,
+        pos_embed_mode="pre_cls" if extra == 1 else "post_cat",
+        use_final_norm=final_norm,
+        frozen_pos_embed=(extra == 1),
+        drop_path_rate=0.0,
+        drop_loc=drop_loc,
+        base_keep_rate=base,
+        attention_impl="xla",
+    )
+    model = AudioViT(cfg)
+    rng = np.random.default_rng(depth * 77 + extra)
+    x = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    params = model.init({"params": jax.random.PRNGKey(2)}, x)["params"]
+
+    rates = tuple(exact if i in drop_loc else 1.0 for i in range(depth))
+    bucket = bucket_keep_rates(rates, base_keep_rate=base, n_buckets=4)
+    assert all(b >= r - 1e-9 for b, r in zip(bucket, rates))
+    nl = jnp.asarray(
+        masked_kept_counts(rates, drop_loc, cfg.num_patches), jnp.int32
+    )
+    kr = jnp.asarray(rates, jnp.float32)
+
+    masked = model.apply(
+        {"params": params}, x, kr, num_left_array=nl,
+        method=AudioViT.forward_masked,
+    )
+    hybrid = model.apply(
+        {"params": params}, x, kr, num_left_array=nl, bucket_rates=bucket,
+        method=AudioViT.forward_hybrid,
+    )
+    np.testing.assert_allclose(
+        np.asarray(hybrid), np.asarray(masked), rtol=2e-3, atol=5e-4
+    )
+
+
+def test_hybrid_fused_prefix_matches_xla():
+    """The hybrid anneal's fused prefix-kernel attention (traced valid
+    length, ops/pallas_attention.fused_qkv_attention_prefix) must agree
+    with the boolean-mask XLA path through the full forward_hybrid, in
+    both importance modes (interpret-mode kernel on CPU)."""
+    from tpat_tpu.engine.schedules import bucket_keep_rates, masked_kept_counts
+
+    for extra, importance, pooling, final_norm in [
+        (1, "patch_mean", "gap_fcnorm", False),
+        (2, "cls", "cls_dist", True),
+    ]:
+        common = dict(
+            embed_dim=128, depth=4, num_heads=2, num_classes=5,
+            target_length=128, num_mel_bins=32,
+            num_extra_tokens=extra, importance=importance, pooling=pooling,
+            pos_embed_mode="pre_cls" if extra == 1 else "post_cat",
+            use_final_norm=final_norm, frozen_pos_embed=(extra == 1),
+            drop_path_rate=0.0, drop_loc=(1, 3), base_keep_rate=0.5,
+        )
+        cfg_x = ViTConfig(attention_impl="xla", **common)
+        cfg_f = ViTConfig(attention_impl="fused", **common)
+        model_x, model_f = AudioViT(cfg_x), AudioViT(cfg_f)
+        rng = np.random.default_rng(extra)
+        x = jnp.asarray(rng.normal(size=(2, 1, 128, 32)).astype(np.float32))
+        params = model_x.init({"params": jax.random.PRNGKey(3)}, x)["params"]
+
+        rates = tuple(0.8 if i in (1, 3) else 1.0 for i in range(4))
+        bucket = bucket_keep_rates(rates, base_keep_rate=0.5, n_buckets=4)
+        nl = jnp.asarray(
+            masked_kept_counts(rates, (1, 3), cfg_x.num_patches), jnp.int32
+        )
+        kr = jnp.asarray(rates, jnp.float32)
+        kw = dict(num_left_array=nl, bucket_rates=bucket,
+                  method=AudioViT.forward_hybrid)
+        want = model_x.apply({"params": params}, x, kr, **kw)
+        got = model_f.apply({"params": params}, x, kr, **kw)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-3, atol=1e-4
+        )

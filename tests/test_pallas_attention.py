@@ -177,3 +177,53 @@ def test_supports_vmem_feasibility():
     assert supports(12, 64, 513, 2)  # AudioSet geometry
     assert not supports(12, 64, 1300, 2)  # probability tiles blow VMEM
     assert not supports(12, 64, 1214, 4)  # stride-10 overlap, f32
+
+
+def test_lane_padded_kernel_matches_xla():
+    """The lane-padded path (head dims that don't divide 128, e.g.
+    ViT-H's 80): zero-pad heads to the lane width + pre-scaled q must
+    reproduce the XLA reference math — outputs, scores, and gradients."""
+    from tpat_tpu.ops.pallas_attention import (
+        fused_qkv_attention_lane_padded,
+        supports,
+        supports_lane_padded,
+    )
+
+    b, h, n, d = 2, 2, 33, 40  # 128 % 40 != 0 -> plain packed layout fails
+    assert not supports(h, d)
+    assert supports_lane_padded(h, d, n, 4)
+    c = h * d
+    rng = np.random.default_rng(9)
+    qkv = jnp.asarray(rng.normal(size=(b, n, 3 * c)).astype(np.float32) * 0.3)
+
+    def xla(qkv):
+        q = qkv[..., :c].reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        k = qkv[..., c : 2 * c].reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        v = qkv[..., 2 * c :].reshape(b, n, h, d).transpose(0, 2, 1, 3)
+        o, s = attention_with_scores(
+            q, k, v, num_extra_tokens=1, importance="patch_mean", impl="xla"
+        )
+        return o.transpose(0, 2, 1, 3).reshape(b, n, c), s
+
+    want_o, want_s = xla(qkv)
+    got_o, got_s = fused_qkv_attention_lane_padded(qkv, h, "patch_mean", 1)
+    np.testing.assert_allclose(
+        np.asarray(got_o), np.asarray(want_o), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), rtol=1e-4, atol=1e-6
+    )
+
+    def loss_pad(qkv):
+        o, s = fused_qkv_attention_lane_padded(qkv, h, "patch_mean", 1)
+        return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+    def loss_xla(qkv):
+        o, s = xla(qkv)
+        return jnp.sum(o ** 2) + jnp.sum(s ** 2)
+
+    g_pad = jax.grad(loss_pad)(qkv)
+    g_xla = jax.grad(loss_xla)(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g_pad), np.asarray(g_xla), rtol=5e-4, atol=5e-5
+    )

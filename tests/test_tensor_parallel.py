@@ -79,3 +79,60 @@ def test_tp_gradients_match_single_device(setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
         )
+
+
+def test_trainmodule_2d_mesh_matches_single_device():
+    """VERDICT r2 #4: the REAL TrainModule (AdamW-LRD, keep-rate phases)
+    over a (data=2, model=2) mesh must reproduce the single-device loss
+    trajectory — TP as a framework feature, not a demo."""
+    import numpy as np
+
+    from tpat_tpu.config import TrainConfig, ViTConfig
+    from tpat_tpu.engine.train import TrainModule
+    from tpat_tpu.models.vit import AudioViT
+    from tpat_tpu.parallel import sharding as shd
+
+    cfg = ViTConfig(
+        embed_dim=64, depth=3, num_heads=2, num_classes=4,
+        target_length=64, num_mel_bins=32, drop_loc=(1,),
+        base_keep_rate=0.6, drop_path_rate=0.0, attention_impl="fused",
+    )
+    tc = TrainConfig(
+        batch_size=8, epochs=4, blr=2e-3, warmup_epochs=1,
+        shrink_start_epoch=1, shrink_epochs=1, base_keep_rate=0.6,
+        drop_loc=(1,),
+    )
+    rng = np.random.default_rng(5)
+    batches = []
+    for _ in range(3):
+        y_idx = rng.integers(0, 4, size=8)
+        x = rng.normal(size=(8, 1, 64, 32)).astype(np.float32)
+        x[np.arange(8), 0, 0, 0] = y_idx * 2.0
+        batches.append((x, np.eye(4, dtype=np.float32)[y_idx]))
+
+    traj = {}
+    for name, mesh in [
+        ("single", None),
+        ("tp2x2", shd.make_mesh_2d(2, 2)),
+    ]:
+        mod = TrainModule(
+            model=AudioViT(cfg), model_cfg=cfg, train_cfg=tc,
+            loss_type="ce", iters_per_epoch=3, mesh=mesh,
+        )
+        if name == "tp2x2":
+            assert mod.model_cfg.attention_impl == "xla"  # auto-selected
+        state = mod.init(np.zeros((1, 1, 64, 32), np.float32), seed=9)
+        losses = []
+        for epoch in range(3):  # dense, anneal, static
+            state, stats = mod.train_epoch(state, batches, epoch)
+            losses.append(stats["loss"])
+        traj[name] = losses
+        if name == "tp2x2":
+            qkv = state.params["blocks_0"]["attn"]["qkv"]["kernel"]
+            # column-sharded over the model axis: each shard holds half
+            # the output features
+            shard_cols = {
+                s.data.shape[1] for s in qkv.addressable_shards
+            }
+            assert shard_cols == {qkv.shape[1] // 2}
+    np.testing.assert_allclose(traj["tp2x2"], traj["single"], rtol=2e-3)

@@ -417,3 +417,105 @@ def test_smoothed_value_median_and_final_log():
     list(ml.log_every(range(7), print_freq=3, header="h"))
     # prints at i=0, 3, 6 (6 == total-1 is the final-iteration print)
     assert sum("[6/7]" in l or "[6]" in l for l in lines) == 1
+
+
+def test_hybrid_anneal_default_trains_and_bounds_compiles():
+    """anneal_mode='hybrid' (the DEFAULT): shrink-phase steps run at
+    bucket-level physical widths with the exact traced schedule masked
+    inside, compiling at most anneal_buckets hybrid variants, and training
+    converges across all three phases."""
+    cfg = tiny_cfg(base_keep_rate=0.6)
+    tc = TrainConfig(
+        batch_size=8, epochs=6, blr=2e-3, warmup_epochs=1,
+        shrink_start_epoch=1, shrink_epochs=2, base_keep_rate=0.6,
+        drop_loc=(1,), anneal_buckets=3,
+    )
+    assert tc.anneal_mode == "hybrid"  # the default
+    mod = make_module(cfg, tc)
+    batches = synthetic_batches(4, 8, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+    phases, losses = [], []
+    for epoch in range(6):
+        state, stats = mod.train_epoch(state, batches, epoch)
+        phases.append(stats["phase"])
+        losses.append(stats["loss"])
+    assert phases == ["dense", "anneal", "anneal", "static", "static", "static"]
+    assert losses[-1] < losses[0], losses
+    hybrid_steps = [k for k in mod._steps if k[0] == "anneal" and k[2]]
+    assert 1 <= len(hybrid_steps) <= tc.anneal_buckets
+    for _, _, rates in hybrid_steps:
+        assert all(r >= tc.base_keep_rate - 1e-9 for r in rates)
+
+
+def test_hybrid_anneal_matches_masked_trajectory():
+    """The hybrid anneal is the SAME schedule as 'masked' (same kept sets
+    and widths, traced exact counts) — per-epoch train losses from
+    identical inits must agree to float tolerance."""
+    import dataclasses as dc
+
+    cfg = tiny_cfg(base_keep_rate=0.6, drop_path_rate=0.0)
+    base_tc = TrainConfig(
+        batch_size=8, epochs=4, blr=2e-3, warmup_epochs=1,
+        shrink_start_epoch=0, shrink_epochs=3, base_keep_rate=0.6,
+        drop_loc=(1,), anneal_buckets=4,
+    )
+    batches = synthetic_batches(3, 8, cfg)
+    traj = {}
+    for mode in ("hybrid", "masked"):
+        tc = dc.replace(base_tc, anneal_mode=mode)
+        mod = make_module(cfg, tc)
+        state = mod.init(jnp.asarray(batches[0][0]), seed=7)
+        losses = []
+        for epoch in range(3):
+            state, stats = mod.train_epoch(state, batches, epoch)
+            assert stats["phase"] == "anneal"
+            losses.append(stats["loss"])
+        traj[mode] = losses
+    np.testing.assert_allclose(
+        traj["hybrid"], traj["masked"], rtol=1e-3, atol=2e-3
+    )
+
+
+def test_hybrid_anneal_rejects_custom_rank():
+    cfg = tiny_cfg(base_keep_rate=0.6)
+    tc = TrainConfig(
+        batch_size=8, epochs=4, blr=2e-3, warmup_epochs=1,
+        shrink_start_epoch=1, shrink_epochs=2, base_keep_rate=0.6,
+        drop_loc=(1,), anneal_mode="hybrid", anneal_buckets=3,
+    )
+    mod = make_module(cfg, tc)
+    mod.custom_rank = "mean"
+    batches = synthetic_batches(2, 8, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+    with pytest.raises(AssertionError, match="static-phase only"):
+        mod.train_epoch(state, batches, epoch=1)
+
+
+def test_train_epoch_streams_epoch1000x_scalars():
+    """Intra-epoch loss/lr TB points at the reference's epoch_1000x index
+    (engine_finetune.py:131-137), streamed from the window fetches."""
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=4, epochs=2, warmup_epochs=0)
+    mod = make_module(cfg, tc, iters=6)
+    batches = synthetic_batches(6, 4, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+
+    class StubTB:
+        def __init__(self):
+            self.points = []
+
+        def add_scalar(self, tag, value, step):
+            self.points.append((tag, float(value), int(step)))
+
+    tb = StubTB()
+    state, _ = mod.train_epoch(
+        state, batches, epoch=1, log_every=2, tb_writer=tb,
+        log_fn=lambda *_: None,
+    )
+    loss_pts = [(v, s) for t, v, s in tb.points if t == "loss"]
+    lr_pts = [(v, s) for t, v, s in tb.points if t == "lr"]
+    assert len(loss_pts) == 3 and len(lr_pts) == 3  # iters 0, 2, 4
+    steps = [s for _, s in loss_pts]
+    # epoch 1, 6 iters: x = int((i/6 + 1) * 1000) for i in (0, 2, 4)
+    assert steps == [1000, 1333, 1666]
+    assert all(np.isfinite(v) for v, _ in loss_pts)

@@ -71,6 +71,11 @@ def get_args_parser():
     p.add_argument("--mask_t_prob", type=float, default=0.0)
     p.add_argument("--mask_f_prob", type=float, default=0.0)
     p.add_argument("--num_workers", default=4, type=int)
+    # Beyond-reference: tensor-parallel model axis.  >1 builds a 2-D
+    # (data, model) mesh over the local devices with Megatron column/row
+    # weight sharding (parallel/sharding.py); attention auto-selects the
+    # XLA impl.  The reference's only parallelism is 2-way DDP.
+    p.add_argument("--model_axis", default=1, type=int)
     p.add_argument("--target_length", type=int, default=None,
                    help="override the preset target length (testing)")
     p.add_argument("--device_frontend", type=str2bool, default=False,
@@ -98,11 +103,14 @@ def get_args_parser():
     p.add_argument("--shrink_epochs", default=0, type=int)
     p.add_argument("--shrink_start_epoch", default=10, type=int)
     p.add_argument(
-        "--anneal_mode", default="masked", choices=["masked", "bucketed"],
-        help="shrink-phase execution: 'masked' = exact reference schedule "
-             "under one compilation (full shapes); 'bucketed' = snap keep "
-             "rates up to discrete levels, each a physically-pruned static "
-             "step (real MAC savings during the anneal)",
+        "--anneal_mode", default="hybrid",
+        choices=["hybrid", "masked", "bucketed"],
+        help="shrink-phase execution: 'hybrid' (default) = exact reference "
+             "schedule masked inside physically-pruned bucket-level shapes "
+             "(near-static cost, <= anneal_buckets compiles); 'masked' = "
+             "exact schedule under ONE compilation but full shapes; "
+             "'bucketed' = schedule quantized to the bucket levels, "
+             "physically-pruned static steps",
     )
     p.add_argument("--anneal_buckets", default=4, type=int)
     # ablations
@@ -137,14 +145,22 @@ def args_checker(args):
         f"mask_t_prob ({args.mask_t_prob}) must equal mask_f_prob "
         f"({args.mask_f_prob}) (main_finetune.py:511)"
     )
+    # the reference builds the masked-2d machinery only when mask_2d=True
+    # (main_finetune.py:362, models_vit.py:468); here the path always
+    # exists, so requesting masking with mask_2d=False is a config error
+    # rather than a silent difference
+    if args.mask_t_prob > 0.0:
+        assert args.mask_2d, "mask_t_prob > 0 requires --mask_2d True"
 
 
 def build_everything(args):
+    import jax
     import jax.numpy as jnp
 
     from tpat_tpu import config as cfg_lib
     from tpat_tpu.data.datasets import AudiosetDataset, VoxCeleb1Dataset, make_name_dict
     from tpat_tpu.data.loader import DataLoader
+    from tpat_tpu.data.sampler import EpochShardSampler
     from tpat_tpu.engine.train import TrainModule
     from tpat_tpu.models.vit import AudioViT
     from tpat_tpu.parallel import mesh as mesh_lib
@@ -193,10 +209,25 @@ def build_everything(args):
             return_waveform=wf,
         )
 
+    # Multi-host: each process loads ONLY its sampler shard (torch
+    # DistributedSampler semantics, main_finetune.py:292-294) and feeds
+    # --batch_size local rows; the global batch is batch_size * world
+    # (assembled by mesh.shard_batch).  Single-host: world == 1, one
+    # process feeds the whole batch — identical to before.
+    rank, world = jax.process_index(), jax.process_count()
+    if world > 1:
+        assert args.batch_size % jax.local_device_count() == 0, (
+            f"per-host batch {args.batch_size} must divide the local "
+            f"device count {jax.local_device_count()}"
+        )
     loader_train = (
         DataLoader(
-            ds_train, args.batch_size, shuffle=True,
-            num_workers=args.num_workers, drop_last=True, seed=args.seed,
+            ds_train, args.batch_size,
+            sampler=EpochShardSampler(
+                len(ds_train), shuffle=True, seed=args.seed,
+                world=world, rank=rank,
+            ),
+            num_workers=args.num_workers, drop_last=True,
         )
         if ds_train is not None
         else None
@@ -227,6 +258,8 @@ def build_everything(args):
         mask_t_prob=args.mask_t_prob,
         mask_f_prob=args.mask_f_prob,
         first_eval_ep=args.first_eval_ep,
+        num_hosts=world,
+        dist_eval=args.dist_eval,
     )
     preprocess = None
     if wf:
@@ -253,7 +286,16 @@ def build_everything(args):
             )
             return device_frontend(x, cfg, rng=rng, train=train)
 
-    mesh = mesh_lib.make_mesh()
+    if getattr(args, "model_axis", 1) > 1:
+        from tpat_tpu.parallel import sharding as shd
+
+        n = jax.device_count()
+        assert n % args.model_axis == 0, (
+            f"model_axis {args.model_axis} must divide device count {n}"
+        )
+        mesh = shd.make_mesh_2d(n // args.model_axis, args.model_axis)
+    else:
+        mesh = mesh_lib.make_mesh()
     module = TrainModule(
         model=model,
         model_cfg=model_cfg,
@@ -264,7 +306,9 @@ def build_everything(args):
         custom_rank=args.custom_rank,
         preprocess=preprocess,
     )
-    return model, model_cfg, data_cfg, module, loader_train, loader_val
+    # the module may have re-selected attention_impl under a model axis —
+    # every downstream consumer (eval, export) must use ITS model
+    return module.model, module.model_cfg, data_cfg, module, loader_train, loader_val
 
 
 def load_params(args, model, model_cfg):
@@ -322,6 +366,56 @@ def load_params(args, model, model_cfg):
     return params
 
 
+def dist_eval_batches(ds_val, batch_size):
+    """Unpadded per-host eval shard (DistributedEvalSampler semantics,
+    ``util/sampler.py:73-99``): rank-strided indices, no wrap padding, so
+    gathered metrics are exact.  Every host is padded to the SAME dispatch
+    count (rank 0 owns the largest shard) with n_valid=0 filler batches so
+    the SPMD eval steps stay collective-aligned across processes."""
+    import jax
+
+    from tpat_tpu.data.sampler import eval_shard
+
+    rank, world = jax.process_index(), jax.process_count()
+    idx = eval_shard(len(ds_val), world, rank)
+    max_shard = -(-len(ds_val) // world)
+    n_batches = -(-max_shard // batch_size)
+    for b in range(n_batches):
+        rows = idx[b * batch_size : (b + 1) * batch_size]
+        valid = len(rows)
+        if not rows:
+            rows = [idx[-1] if idx else 0]
+        items = [ds_val[i] for i in rows]
+        x = np.stack([it[0] for it in items])
+        y = np.stack([it[1] for it in items])
+        yield x, y[:valid], valid
+
+
+def _eval_once(args, model, module, loader_val, params, **kw):
+    """One evaluation pass, dist-eval aware: with --dist_eval and multiple
+    processes, each host scores its unpadded shard and logits are gathered
+    (engine_finetune.py:246-248); otherwise every host scores the full
+    set."""
+    import jax
+
+    from tpat_tpu.engine import evaluate as eval_lib
+
+    dist = args.dist_eval and jax.process_count() > 1
+    if dist:
+        batches = dist_eval_batches(loader_val.dataset, args.batch_size)
+    else:
+        batches = ((x, y) for x, y, _ in loader_val)
+    fn = (
+        eval_lib.evaluate_multilabel
+        if args.dataset == "audioset"
+        else eval_lib.evaluate_classification
+    )
+    return fn(
+        model, params, batches, args.batch_size, module.mesh,
+        preprocess=module.preprocess, allgather=dist, **kw,
+    )
+
+
 def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
     from tpat_tpu.data.datasets import make_name_dict
     from tpat_tpu.engine import evaluate as eval_lib
@@ -343,11 +437,18 @@ def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
         assert args.base_keep_rate == 1.0, "band ablation needs keep 1.0"
         intensity_band = (args.retain_min, args.retain_max, args.drop_token_blk_idx)
 
-    batches = ((x, y) for x, y, _ in loader_val)
+    import jax
+
+    dist = args.dist_eval and jax.process_count() > 1
+    if dist:
+        batches = dist_eval_batches(loader_val.dataset, args.batch_size)
+    else:
+        batches = ((x, y) for x, y, _ in loader_val)
     if args.dataset == "audioset":
         stats = eval_lib.evaluate_multilabel(
             model, params, batches, args.batch_size, module.mesh,
             feature_writer=writer, preprocess=module.preprocess,
+            allgather=dist,
         )
         metric = "mAP"
     else:
@@ -355,7 +456,7 @@ def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
             model, params, batches, args.batch_size, module.mesh,
             feature_writer=writer, index_to_name=index_to_name,
             custom_rank=args.custom_rank, intensity_band=intensity_band,
-            preprocess=module.preprocess,
+            preprocess=module.preprocess, allgather=dist,
         )
         metric = "acc1"
     print(f"{metric}: {stats[metric]:.4f}")
@@ -370,10 +471,16 @@ def main(args):
     import jax.numpy as jnp
 
     from tpat_tpu.engine import evaluate as eval_lib
+    from tpat_tpu.parallel import distributed as dist_lib
     from tpat_tpu.utils.checkpoint import BestCheckpointKeeper
 
     args_checker(args)
     np.random.seed(args.seed)
+    # multi-host init (misc.py:218-250 equivalent): no-op unless
+    # COORDINATOR_ADDRESS/SLURM env is present; afterwards jax.devices()
+    # spans all hosts and every loader below shards by process
+    rank, world = dist_lib.init_distributed_mode()
+    is_main = rank == 0
 
     model, model_cfg, data_cfg, module, loader_train, loader_val = (
         build_everything(args)
@@ -385,25 +492,27 @@ def main(args):
         return
 
     out = Path(args.output_dir)
-    out.mkdir(parents=True, exist_ok=True)
-    import yaml
+    if is_main:  # rank-0-only artifact writes (misc.py:297-312 semantics)
+        out.mkdir(parents=True, exist_ok=True)
+        import yaml
 
-    with open(out / "args.yaml", "w") as f:
-        yaml.dump(vars(args), f)
+        with open(out / "args.yaml", "w") as f:
+            yaml.dump(vars(args), f)
 
     tb = None
-    try:  # TensorBoard scalars like the reference (main_finetune.py:311-319)
-        from torch.utils.tensorboard import SummaryWriter
+    if is_main:
+        try:  # TensorBoard scalars like the reference (main_finetune.py:311-319)
+            from torch.utils.tensorboard import SummaryWriter
 
-        tb_dir = out / "tb_log"
-        if tb_dir.exists() and not args.resume:
-            # refuse to clobber an existing run (main_finetune.py:313-316);
-            # resume appends to the same log
-            print(f"!! path {tb_dir} exists, stop training")
-            raise SystemExit(1)
-        tb = SummaryWriter(str(tb_dir))
-    except ImportError:
-        pass
+            tb_dir = out / "tb_log"
+            if tb_dir.exists() and not args.resume:
+                # refuse to clobber an existing run (main_finetune.py:313-316);
+                # resume appends to the same log
+                print(f"!! path {tb_dir} exists, stop training")
+                raise SystemExit(1)
+            tb = SummaryWriter(str(tb_dir))
+        except ImportError:
+            pass
 
     state = module.load(params, seed=args.seed)
     if args.resume:
@@ -443,21 +552,13 @@ def main(args):
 
         batches = ((x, y) for x, y, _ in loader_train)
         state, train_stats = module.train_epoch(
-            state, batches, epoch, log_every=20
+            state, batches, epoch, log_every=20, tb_writer=tb
         )
 
         if epoch >= args.first_eval_ep:
-            ebatches = ((x, y) for x, y, _ in loader_val)
-            if args.dataset == "audioset":
-                test_stats = eval_lib.evaluate_multilabel(
-                    model, state.params, ebatches, args.batch_size,
-                    module.mesh, preprocess=module.preprocess,
-                )
-            else:
-                test_stats = eval_lib.evaluate_classification(
-                    model, state.params, ebatches, args.batch_size,
-                    module.mesh, preprocess=module.preprocess,
-                )
+            test_stats = _eval_once(
+                args, model, module, loader_val, state.params
+            )
         else:
             test_stats = {metric: -1.0}
         score = test_stats[metric]
@@ -465,12 +566,16 @@ def main(args):
             f"epoch {epoch}: phase={train_stats['phase']} "
             f"train_loss={train_stats['loss']:.4f} {metric}={score:.4f}"
         )
-        if epoch >= args.first_eval_ep:
+        if is_main and epoch >= args.first_eval_ep:
             # never checkpoint the -1.0 placeholder of skipped-eval epochs
             # (reference saves only on a real >= max score,
             # main_finetune.py:548)
             keeper.update(score, state, epoch)
-        if args.save_every_epochs and (epoch + 1) % args.save_every_epochs == 0:
+        if (
+            is_main
+            and args.save_every_epochs
+            and (epoch + 1) % args.save_every_epochs == 0
+        ):
             from tpat_tpu.utils.checkpoint import save_checkpoint
 
             save_checkpoint(str(out / "last_checkpoint"), state, epoch)
@@ -480,8 +585,9 @@ def main(args):
             **{f"test_{k}": v for k, v in test_stats.items()},
             "epoch": epoch,
         }
-        with open(out / "log.txt", "a") as f:
-            f.write(json.dumps(log) + "\n")
+        if is_main:
+            with open(out / "log.txt", "a") as f:
+                f.write(json.dumps(log) + "\n")
         if tb is not None:
             for k, v in train_stats.items():
                 if isinstance(v, (int, float)):
@@ -491,12 +597,13 @@ def main(args):
                     tb.add_scalar(f"test/{k}", v, epoch)
             tb.flush()
 
-    keeper.finalize()
-    print(f"training time {time.time() - start:.1f}s, "
-          f"best {metric}={keeper.best_score:.4f} @ epoch {keeper.best_epoch}")
-    if args.result_path:
-        with open(args.result_path, "w") as f:
-            f.write(f"{keeper.best_score:.4f}")
+    if is_main:
+        keeper.finalize()
+        print(f"training time {time.time() - start:.1f}s, "
+              f"best {metric}={keeper.best_score:.4f} @ epoch {keeper.best_epoch}")
+        if args.result_path:
+            with open(args.result_path, "w") as f:
+                f.write(f"{keeper.best_score:.4f}")
 
 
 if __name__ == "__main__":

@@ -87,9 +87,11 @@ def main(args):
     from tpat_tpu import config as cfg_lib
     from tpat_tpu.data.datasets import AudiosetDataset
     from tpat_tpu.data.loader import DataLoader
+    from tpat_tpu.data.sampler import EpochShardSampler
     from tpat_tpu.engine import evaluate as eval_lib
     from tpat_tpu.engine.train import TrainModule
     from tpat_tpu.models.vit import AudioViT
+    from tpat_tpu.parallel import distributed as dist_lib
     from tpat_tpu.parallel import mesh as mesh_lib
     from tpat_tpu.utils import torch_import as ti
     from tpat_tpu.utils.checkpoint import BestCheckpointKeeper, restore_checkpoint
@@ -98,7 +100,12 @@ def main(args):
     assert args.fstride == 16 and args.tstride == 16, (
         "only fstride=tstride=16 (ast_models.py:258)"
     )
+    assert args.model == "ast", f"only the ast model is supported, got {args.model!r}"
     np.random.seed(args.seed)
+    # Multi-host DP (beyond-reference: the AST reference is single-process
+    # nn.DataParallel, traintest.py:78-79): no-op without a coordinator
+    rank, world = dist_lib.init_distributed_mode()
+    is_main = rank == 0
 
     # per-dataset SpecAug table (run.py:150-158); flags override
     timem_conf = {"audioset": 192, "speechcommands": 48, "esc50": 96}
@@ -263,17 +270,22 @@ def main(args):
         return score
 
     # full-arg provenance dump before training (run.py:223-224)
-    import yaml
+    if is_main:
+        import yaml
 
-    with open(os.path.join(args.exp_dir, "args.yaml"), "w") as f:
-        yaml.dump(vars(args), f)
+        with open(os.path.join(args.exp_dir, "args.yaml"), "w") as f:
+            yaml.dump(vars(args), f)
 
     ds_train = AudiosetDataset(
         args.data_train, data_cfg, args.label_csv, train=True, seed=args.seed
     )
     loader_train = DataLoader(
-        ds_train, args.batch_size, shuffle=True,
-        num_workers=args.num_workers, drop_last=True, seed=args.seed,
+        ds_train, args.batch_size,
+        sampler=EpochShardSampler(
+            len(ds_train), shuffle=True, seed=args.seed,
+            world=world, rank=rank,
+        ),
+        num_workers=args.num_workers, drop_last=True,
     )
 
     train_cfg = cfg_lib.TrainConfig(
@@ -292,6 +304,7 @@ def main(args):
         warmup=bool(args.warmup),
         keep_rate_iter_mode="per_epoch",
         epoch_base=1,
+        num_hosts=world,
     )
     module = TrainModule(
         model=model,
@@ -337,16 +350,22 @@ def main(args):
             score = vstats["mAP"]
         print(f"epoch {epoch}: train_loss={tstats['loss']:.4f} score={score:.6f}")
         result[epoch - 1] = [epoch, score, tstats["loss"], 0.0]
-        np.savetxt(os.path.join(args.exp_dir, "result.csv"), result, delimiter=",")
-        if epoch >= args.first_eval_epoch:
+        if is_main:
+            np.savetxt(
+                os.path.join(args.exp_dir, "result.csv"), result, delimiter=","
+            )
+        if is_main and epoch >= args.first_eval_epoch:
             keeper.update(score, state, epoch)
         progress.append(
             [epoch, epoch * len(loader_train), keeper.best_epoch,
              keeper.best_score, _time.time() - start_time]
         )
-        with open(os.path.join(args.exp_dir, "progress.pkl"), "wb") as f:
-            pickle.dump(progress, f)
+        if is_main:
+            with open(os.path.join(args.exp_dir, "progress.pkl"), "wb") as f:
+                pickle.dump(progress, f)
 
+    if not is_main:
+        return keeper.best_score
     keeper.finalize()
     best_dir = os.path.join(args.exp_dir, "models", "best_model")
     if os.path.exists(best_dir):

@@ -114,10 +114,15 @@ class ViTConfig:
     # residual adds; splitting it out costs more than it saves) — kept as
     # an opt-in capability for other hardware.
     use_fused_layernorm: bool = False
-    # Attention implementation: 'xla' (einsum+softmax, reference math) or
+    # Attention implementation: 'xla' (einsum+softmax, reference math),
     # 'fused' (Pallas kernel, ops/pallas_attention.py — no HBM
-    # materialization of the probability matrix; falls back to 'xla'
-    # whenever a token mask is active, i.e. in the masked anneal phase).
+    # materialization of the probability matrix; auto-falls-back to 'xla'
+    # for unsupported geometries or boolean token masks; the hybrid
+    # anneal's uniform prefix masks use the prefix kernel variant), or
+    # 'fused_padded' (lane-pad head dims that don't divide 128, e.g.
+    # ViT-H's 80, into the fused kernel — measured SLOWER than the XLA
+    # fallback on the target chip, kept as an explicit opt-in probe; see
+    # docs/BENCH_NOTES.md "ViT-H lane padding").
     attention_impl: str = "fused"
     # Dense/conv weight init for from-scratch training: 'trunc_normal'
     # (timm/finetune trunk default) or 'xavier_uniform' (the MAE
@@ -244,6 +249,29 @@ def audiomae_vit_large(**kw) -> ViTConfig:
     return ViTConfig(
         embed_dim=1024,
         depth=24,
+        num_heads=16,
+        num_extra_tokens=1,
+        importance="patch_mean",
+        pooling="gap_fcnorm",
+        pos_embed_mode="pre_cls",
+        use_final_norm=False,
+        frozen_pos_embed=True,
+        **kw,
+    )
+
+
+def audiomae_vit_huge(**kw) -> ViTConfig:
+    """models_vit.py:550-554 (``vit_huge_patch14``) trunk dims.  The
+    reference's factory name says patch 14 (ImageNet MAE heritage), but
+    the audio driver swaps in a 16x16 patch embed for every model
+    (``main_finetune.py:374-382``), so 16 is the audio default here; pass
+    ``patch_size=14`` for the raw ImageNet geometry.  head_dim 80 rides
+    the lane-padded fused kernel
+    (``ops/pallas_attention.fused_qkv_attention_lane_padded``)."""
+    kw.setdefault("patch_size", 16)
+    return ViTConfig(
+        embed_dim=1280,
+        depth=32,
         num_heads=16,
         num_extra_tokens=1,
         importance="patch_mean",
@@ -391,7 +419,12 @@ class TrainConfig:
       (main_finetune.py:518-522).
     """
 
-    batch_size: int = 64  # per-host global batch; sharded over the mesh
+    batch_size: int = 64  # per-HOST batch; sharded over the mesh.  On a
+    # single host this is the global batch; multi-host, the global batch
+    # is batch_size * num_hosts (torch per-process --batch_size semantics,
+    # main_finetune.py:437-439).
+    num_hosts: int = 1  # jax.process_count(); scales the effective batch
+    # in the blr -> lr rule exactly like the reference's world_size
     epochs: int = 120
     accum_iter: int = 1
     blr: float = 1e-3
@@ -409,16 +442,26 @@ class TrainConfig:
     shrink_start_epoch: int = 10
     shrink_epochs: int = 0
     # How the shrink-phase cosine anneal executes on TPU:
+    # 'hybrid'   — DEFAULT: exact reference schedule at near-static cost.
+    #              Keep rates snap UP to `anneal_buckets` bucket levels;
+    #              each level compiles a physically-pruned graph at the
+    #              bucket's static widths, and the EXACT scheduled kept
+    #              counts are threaded through a traced mask inside those
+    #              widths (models/vit.py::forward_hybrid).  Same kept
+    #              sets/widths as 'masked', MAC cost close to the static
+    #              step, <= `anneal_buckets` compilations.
     # 'masked'   — exact reference semantics: traced keep rates, full
-    #              shapes, ONE compilation for the whole phase.
+    #              shapes, ONE compilation for the whole phase (but every
+    #              anneal step pays full dense-sequence MACs).
     # 'bucketed' — keep rates snap UP to `anneal_buckets` discrete levels
     #              between 1.0 and base_keep_rate; each level compiles a
     #              physically-pruned static step (reduced shapes -> real
     #              MAC savings during the anneal, at most `anneal_buckets`
     #              compilations).  Effective keep rate is always >= the
     #              scheduled one, so pruning is never more aggressive
-    #              than the reference schedule.
-    anneal_mode: str = "masked"
+    #              than the reference schedule — but the schedule is
+    #              quantized, unlike 'hybrid'/'masked'.
+    anneal_mode: str = "hybrid"
     anneal_buckets: int = 4
 
     # Finetune-time structured masking (regularization)

@@ -72,6 +72,42 @@ def make_eval_step(
     return jax.jit(fwd)
 
 
+def _local_rows(arr) -> np.ndarray:
+    """Host copy of the rows THIS process computed.
+
+    Single-host: the whole array.  Multi-host: a globally-sharded output
+    is not fully addressable, so concatenate the addressable shards in
+    row order — exactly the rows this host's sampler shard contributed
+    (``mesh.shard_batch`` lays process-local data onto local devices)."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    shards = sorted(
+        arr.addressable_shards,
+        key=lambda s: s.index[0].start if s.index[0].start is not None else 0,
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
+def allgather_rows(arr: np.ndarray) -> np.ndarray:
+    """Concatenate per-process row blocks across hosts (the
+    ``concat_all_gather`` of ``util/misc.py:350-361`` without its
+    equal-shape restriction: counts are gathered first and ragged blocks
+    padded to the max before the gather, then trimmed)."""
+    if jax.process_count() == 1:
+        return arr
+    from jax.experimental import multihost_utils as mh
+
+    counts = np.asarray(
+        mh.process_allgather(np.asarray(arr.shape[0]))
+    ).reshape(-1)
+    m = int(counts.max())
+    if arr.shape[0] < m:
+        pad = np.zeros((m - arr.shape[0],) + arr.shape[1:], arr.dtype)
+        arr = np.concatenate([arr, pad])
+    g = np.asarray(mh.process_allgather(arr))  # (world, m, ...)
+    return np.concatenate([g[i, : int(c)] for i, c in enumerate(counts)])
+
+
 def _run_batches(
     eval_step,
     params,
@@ -82,6 +118,9 @@ def _run_batches(
     index_to_name=None,
     band_mode: bool = False,
 ):
+    """``batches`` yields (x, y) or (x, y, n_valid); n_valid < x rows marks
+    trailing padding (the multi-host dist-eval path pads every host to the
+    same dispatch count so the SPMD steps stay collective-aligned)."""
     all_logits, all_targets = [], []
     pending = None  # (device_out, n, y, bidx): fetch one batch behind so
     # device compute overlaps host transfers/feature writing
@@ -89,9 +128,9 @@ def _run_batches(
     def _consume(out, n, y, bidx):
         if band_mode:
             logits, kept = out
-            keepers = np.asarray(kept)[:n] > 0  # skip emptied samples
-            all_logits.append(np.asarray(logits)[:n][keepers])
-            all_targets.append(np.asarray(y)[keepers])
+            keepers = _local_rows(kept)[:n] > 0  # skip emptied samples
+            all_logits.append(_local_rows(logits)[:n][keepers])
+            all_targets.append(np.asarray(y)[:n][keepers])
             return
         if feature_writer is not None:
             logits, features = out
@@ -108,13 +147,14 @@ def _run_batches(
             feature_writer(features, bidx)
         else:
             logits = out
-        all_logits.append(np.asarray(logits)[:n])
-        all_targets.append(np.asarray(y))
+        all_logits.append(_local_rows(logits)[:n])
+        all_targets.append(np.asarray(y)[:n])
 
-    for bidx, (x, y) in enumerate(batches):
-        n = x.shape[0]
-        if n < batch_size:  # pad to compiled shape, trim after
-            pad = batch_size - n
+    for bidx, item in enumerate(batches):
+        x, y = item[0], item[1]
+        n = item[2] if len(item) > 2 else x.shape[0]
+        if x.shape[0] < batch_size:  # pad to compiled shape, trim after
+            pad = batch_size - x.shape[0]
             x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
         if mesh is not None:
             x = mesh_lib.shard_batch(mesh, x)
@@ -139,9 +179,15 @@ def evaluate_classification(
     custom_rank=None,
     intensity_band=None,
     preprocess=None,
+    allgather: bool = False,
 ) -> Dict[str, float]:
     """Single-label eval: acc1/acc5 + CE loss on argmax targets
-    (engine_finetune.py:145-202)."""
+    (engine_finetune.py:145-202).
+
+    ``allgather=True`` (multi-host dist-eval): accuracies are computed on
+    the cross-process concatenation of every host's unpadded shard —
+    exact global metrics; the reported CE loss keeps the reference's
+    local per-batch-mean quirk (the reference never gathers it)."""
     step = make_eval_step(
         model, mesh, extract_features=feature_writer is not None,
         custom_rank=custom_rank, intensity_band=intensity_band,
@@ -151,8 +197,14 @@ def evaluate_classification(
         step, params, batches, batch_size, mesh, feature_writer,
         index_to_name, band_mode=intensity_band is not None,
     )
+    if allgather:
+        g_logits = allgather_rows(logits)
+        g_targets = allgather_rows(targets)
+    else:
+        g_logits, g_targets = logits, targets
+    tgt_idx_g = np.argmax(g_targets, axis=1)
     tgt_idx = np.argmax(targets, axis=1)
-    acc1, acc5 = metrics_lib.topk_accuracy(logits, tgt_idx, ks=(1, 5))
+    acc1, acc5 = metrics_lib.topk_accuracy(g_logits, tgt_idx_g, ks=(1, 5))
     logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
     # the reference's reported loss is an UNWEIGHTED mean of per-batch CE
     # losses (metric_logger.update(loss=...) with n=1,
@@ -177,8 +229,12 @@ def evaluate_multilabel(
     mesh=None,
     feature_writer=None,
     preprocess=None,
+    allgather: bool = False,
 ) -> Dict[str, float]:
-    """Multilabel mAP eval (engine_finetune.py:206-267)."""
+    """Multilabel mAP eval (engine_finetune.py:206-267).
+
+    ``allgather=True``: the dist-eval concat of engine_finetune.py:246-248
+    — per-host unpadded shards gathered across processes before the mAP."""
     step = make_eval_step(
         model, mesh, extract_features=feature_writer is not None,
         preprocess=preprocess,
@@ -186,4 +242,7 @@ def evaluate_multilabel(
     logits, targets, _sizes = _run_batches(
         step, params, batches, batch_size, mesh, feature_writer
     )
+    if allgather:
+        logits = allgather_rows(logits)
+        targets = allgather_rows(targets)
     return {"mAP": metrics_lib.mean_average_precision(logits, targets)}

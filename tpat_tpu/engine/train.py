@@ -89,7 +89,30 @@ class TrainModule:
     # --device_frontend path (waveform -> spectrogram on the TPU).
     preprocess: Any = None
 
+    def _tp_size(self) -> int:
+        """Model-axis size of the mesh (1 = pure data parallel)."""
+        if self.mesh is None:
+            return 1
+        from tpat_tpu.parallel import sharding as shd
+
+        if shd.MODEL_AXIS not in self.mesh.axis_names:
+            return 1
+        return int(self.mesh.shape[shd.MODEL_AXIS])
+
     def __post_init__(self):
+        # Tensor parallelism: a 2-D (data, model) mesh shards the
+        # transformer weights Megatron-style (parallel/sharding.py) and
+        # GSPMD inserts the row-parallel psums.  The packed-qkv Pallas
+        # kernel is a single-device program, so under a model axis the
+        # attention auto-selects the XLA path (einsum attention
+        # partitions cleanly over heads); param trees are identical, so
+        # checkpoints/imports are unaffected.
+        if self._tp_size() > 1 and self.model_cfg.attention_impl == "fused":
+            self.model_cfg = dataclasses.replace(
+                self.model_cfg, attention_impl="xla"
+            )
+            self.model = AudioViT(self.model_cfg)
+
         # The schedule's pruning geometry and the model's must be the same
         # object-of-agreement (in the reference one CLI arg feeds both,
         # main_finetune.py:364-366): the anneal path precomposes kept
@@ -114,7 +137,13 @@ class TrainModule:
                 self.train_cfg, max(self.iters_per_epoch, 1)
             )
         else:
-            eff_batch = self.train_cfg.batch_size * self.train_cfg.accum_iter
+            # eff batch includes the host count (main_finetune.py:437-439:
+            # batch_size * accum_iter * world_size feeds the blr rule)
+            eff_batch = (
+                self.train_cfg.batch_size
+                * self.train_cfg.accum_iter
+                * self.train_cfg.num_hosts
+            )
             self.lr_fn = opt_lib.make_lr_fn(
                 self.train_cfg,
                 max(self.iters_per_epoch // self.train_cfg.accum_iter, 1),
@@ -146,6 +175,19 @@ class TrainModule:
             assert self.custom_rank is None, (
                 "custom-rank ablation is static-phase only"
             )
+            if static_rates is not None:
+                # hybrid anneal: physical gathers at the bucket's static
+                # widths + the exact traced schedule masked inside them
+                return model.apply(
+                    {"params": params},
+                    x,
+                    keep_rates,
+                    num_left_array=num_left,
+                    bucket_rates=static_rates,
+                    deterministic=False,
+                    method=AudioViT.forward_hybrid,
+                    rngs=rngs,
+                )
             return model.apply(
                 {"params": params},
                 x,
@@ -254,10 +296,30 @@ class TrainModule:
             self._steps[key] = jax.jit(fn, donate_argnums=(0, 1))
         return self._steps[key]
 
-    def init(self, sample_x, seed: Optional[int] = None) -> TrainState:
-        rng = jax.random.PRNGKey(self.train_cfg.seed if seed is None else seed)
-        params = self.model.init({"params": rng}, sample_x[:1])["params"]
+    def _build_state(self, params, rng) -> TrainState:
+        """Place params (+ optimizer state) on the mesh and assemble the
+        TrainState.  Data-parallel: everything replicated.  2-D mesh:
+        params get the Megatron column/row shardings and the optimizer
+        state is initialized INSIDE jit so Adam's mu/nu inherit the param
+        shardings via GSPMD propagation (the optimizer state of a sharded
+        weight must live where the weight lives)."""
         self._tx = self.tx(params)
+        if self.mesh is not None and self._tp_size() > 1:
+            from tpat_tpu.parallel import sharding as shd
+
+            params = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(jnp.asarray(x), s),
+                params,
+                shd.param_shardings(params, self.mesh),
+            )
+            opt_state = jax.jit(self._tx.init)(params)
+            rep = mesh_lib.replicated_sharding(self.mesh)
+            return TrainState(
+                step=jax.device_put(jnp.zeros((), jnp.int32), rep),
+                params=params,
+                opt_state=opt_state,
+                rng=jax.device_put(rng, rep),
+            )
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -265,23 +327,19 @@ class TrainModule:
             rng=rng,
         )
         if self.mesh is not None:
-            rep = mesh_lib.replicated_sharding(self.mesh)
-            state = jax.device_put(state, rep)
+            state = jax.device_put(state, mesh_lib.replicated_sharding(self.mesh))
         return state
+
+    def init(self, sample_x, seed: Optional[int] = None) -> TrainState:
+        rng = jax.random.PRNGKey(self.train_cfg.seed if seed is None else seed)
+        params = self.model.init({"params": rng}, sample_x[:1])["params"]
+        return self._build_state(params, rng)
 
     def load(self, params, seed: Optional[int] = None) -> TrainState:
         """Build state around imported params (checkpoint finetune path)."""
         params = jax.tree_util.tree_map(jnp.asarray, params)
-        self._tx = self.tx(params)
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            opt_state=self._tx.init(params),
-            rng=jax.random.PRNGKey(self.train_cfg.seed if seed is None else seed),
-        )
-        if self.mesh is not None:
-            state = jax.device_put(state, mesh_lib.replicated_sharding(self.mesh))
-        return state
+        rng = jax.random.PRNGKey(self.train_cfg.seed if seed is None else seed)
+        return self._build_state(params, rng)
 
     # -- epoch ----------------------------------------------------------
 
@@ -293,6 +351,7 @@ class TrainModule:
         log_every: int = 0,
         log_fn: Callable[[str], None] = print,
         nan_check_every: int = 100,
+        tb_writer=None,
     ) -> Tuple[TrainState, Dict[str, float]]:
         """One epoch with the reference's phase/aug rules.  ``batches``
         yields host (x, y) with a fixed global batch size.
@@ -301,7 +360,15 @@ class TrainModule:
         ``nan_check_every`` steps (and at log points / epoch end), so the
         loop stays async instead of paying a device round-trip per step.
         The NaN hard abort (engine_finetune.py:108-110) fires at those
-        fetch points via a device-side finite flag."""
+        fetch points via a device-side finite flag.
+
+        ``tb_writer``: optional TensorBoard SummaryWriter (anything with
+        ``add_scalar``).  Streams intra-epoch train ``loss``/``lr`` points
+        at the fractional-epoch ``epoch_1000x`` index the reference uses
+        (``engine_finetune.py:131-137``), from the window fetches the
+        loop already performs — no extra device traffic.  Values are
+        window means rather than single-iteration samples (strictly more
+        information at the same x-resolution)."""
         cfg = self.train_cfg
         phase = schedules.schedule_phase(
             epoch,
@@ -311,14 +378,16 @@ class TrainModule:
         )
         # masking regularization is active only before shrink
         mask_prob = cfg.mask_t_prob if phase == "dense" else 0.0
-        if cfg.anneal_mode not in ("masked", "bucketed"):
+        if cfg.anneal_mode not in ("masked", "bucketed", "hybrid"):
             raise ValueError(f"unknown anneal_mode {cfg.anneal_mode!r}")
-        bucketed_anneal = phase == "anneal" and cfg.anneal_mode == "bucketed"
+        bucketed_anneal = phase == "anneal" and cfg.anneal_mode in (
+            "bucketed", "hybrid"
+        )
         if bucketed_anneal and self.custom_rank is not None:
             # same rule the masked path asserts in _forward: the ablation
             # is defined for static phases only (models_vit.py:341-351)
             raise AssertionError("custom-rank ablation is static-phase only")
-        # bucketed anneal picks its per-bucket static step inside the loop
+        # bucketed/hybrid anneal picks its per-bucket step inside the loop
         step_fn = None if bucketed_anneal else self.compiled_step(phase, mask_prob)
 
         from tpat_tpu.utils.logging import MetricLogger, SmoothedValue
@@ -393,7 +462,31 @@ class TrainModule:
                     num_blocks=self.model_cfg.depth,
                     drop_loc=cfg.drop_loc,
                 )
-                if cfg.anneal_mode == "bucketed":
+                if cfg.anneal_mode == "hybrid":
+                    if rates == all_ones and self.preprocess is None:
+                        # the cosine's t=0 point: scheduled rates are
+                        # EXACTLY 1.0, the refine is the identity — the
+                        # dense static step is bit-equivalent and skips
+                        # all masking machinery (and shares the dense
+                        # phase's compile-cache key).  Guarded on
+                        # preprocess: the dense-phase step re-enables
+                        # on-device SpecAug, which the shrink phase
+                        # must keep disabled (main_finetune.py:518-522).
+                        state, acc, metrics = self.compiled_step(
+                            "dense", 0.0
+                        )(state, acc, x, y)
+                    else:
+                        bucketed = schedules.bucket_keep_rates(
+                            rates,
+                            base_keep_rate=cfg.base_keep_rate,
+                            n_buckets=cfg.anneal_buckets,
+                        )
+                        kr, nl = masked_args(rates)
+                        hstep = self.compiled_step(
+                            "anneal", 0.0, static_rates=bucketed
+                        )
+                        state, acc, metrics = hstep(state, acc, x, y, kr, nl)
+                elif cfg.anneal_mode == "bucketed":
                     bucketed = schedules.bucket_keep_rates(
                         rates,
                         base_keep_rate=cfg.base_keep_rate,
@@ -434,15 +527,26 @@ class TrainModule:
                 # meters see every step's contribution, not a subsample.
                 host_acc = fetch_and_check(i)
                 win = max(n_steps - int(prev.get("n", 0)), 1)
+                win_loss = (
+                    float(host_acc["loss_sum"]) - prev["loss_sum"]
+                ) / win
+                lr_last = float(host_acc["lr_last"])
                 logger.update(
-                    loss=(float(host_acc["loss_sum"]) - prev["loss_sum"]) / win,
-                    lr=float(host_acc["lr_last"]),
+                    loss=win_loss,
+                    lr=lr_last,
                     grad_norm=(
                         float(host_acc["grad_norm_sum"])
                         - prev["grad_norm_sum"]
                     )
                     / win,
                 )
+                if tb_writer is not None:
+                    # fractional-epoch x-index (engine_finetune.py:136)
+                    e1000x = int(
+                        (i / max(self.iters_per_epoch, 1) + epoch) * 1000
+                    )
+                    tb_writer.add_scalar("loss", win_loss, e1000x)
+                    tb_writer.add_scalar("lr", lr_last, e1000x)
                 prev = {
                     "loss_sum": float(host_acc["loss_sum"]),
                     "grad_norm_sum": float(host_acc["grad_norm_sum"]),

@@ -86,10 +86,28 @@ def supports(
 
 
 def _qkv_kernel(
-    q_ref, k_ref, v_ref, o_ref, colsum_ref, *,
-    scale, mode, extra, head_dim, heads_per_block, group,
+    *refs,
+    scale, mode, extra, head_dim, heads_per_block, group, prefix,
 ):
+    """Forward kernel.  When ``prefix`` is True the first ref is an SMEM
+    scalar holding kv_valid — the number of valid tokens (extras + kept
+    patches); keys at column >= kv_valid are masked out of the softmax and
+    the 'patch_mean' reduction sums only valid patch-query rows.  The
+    prefix form is what the hybrid anneal produces: after a bucket gather
+    the kept set is a contiguous prefix, identical for every sample."""
+    if prefix:
+        kv_ref, q_ref, k_ref, v_ref, o_ref, colsum_ref = refs
+        kv_valid = kv_ref[0]
+    else:
+        q_ref, k_ref, v_ref, o_ref, colsum_ref = refs
+        kv_valid = None
     n = q_ref.shape[1]
+    if prefix:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        kmask = col < kv_valid  # (n, n) valid-key predicate
+        rvalid = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) < kv_valid
+        ).astype(jnp.float32)
     for b in range(group):
         for hh in range(heads_per_block):
             sl = slice(hh * head_dim, (hh + 1) * head_dim)
@@ -106,6 +124,8 @@ def _qkv_kernel(
                 )
                 * scale
             )
+            if prefix:
+                logits = jnp.where(kmask, logits, -1e30)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -114,11 +134,18 @@ def _qkv_kernel(
             ).astype(o_ref.dtype)
 
             if mode == "patch_mean":
-                # column sums over patch-query rows = total minus the few
-                # extra-token rows — avoids an (n, n) iota+mask product
-                colsum_ref[b, hh] = jnp.sum(
-                    p, axis=0, keepdims=True
-                ) - jnp.sum(p[:extra], axis=0, keepdims=True)
+                if prefix:
+                    # sum over VALID patch-query rows only (rows in
+                    # [extra, kv_valid)); wrapper divides by h * valid
+                    colsum_ref[b, hh] = jnp.sum(
+                        p * rvalid, axis=0, keepdims=True
+                    ) - jnp.sum(p[:extra], axis=0, keepdims=True)
+                else:
+                    # column sums over patch-query rows = total minus the
+                    # few extra rows — avoids an (n, n) iota+mask product
+                    colsum_ref[b, hh] = jnp.sum(
+                        p, axis=0, keepdims=True
+                    ) - jnp.sum(p[:extra], axis=0, keepdims=True)
             elif mode == "cls":
                 colsum_ref[b, hh] = p[0:1]
             else:
@@ -130,6 +157,7 @@ def _fused_qkv_impl(
     num_heads: int,
     mode: Optional[str],
     num_extra_tokens: int,
+    kv_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, n, c3 = qkv.shape
     c = c3 // 3
@@ -139,6 +167,7 @@ def _fused_qkv_impl(
     hb = c // LANES  # lane blocks per q/k/v section
     g = _batch_group(b, n, qkv.dtype.itemsize, n_io_blocks=4)
     scale = d ** -0.5
+    prefix = kv_valid is not None
 
     kernel = functools.partial(
         _qkv_kernel,
@@ -148,6 +177,7 @@ def _fused_qkv_impl(
         head_dim=d,
         heads_per_block=hpb,
         group=g,
+        prefix=prefix,
     )
 
     def spec(section):
@@ -157,10 +187,18 @@ def _fused_qkv_impl(
             memory_space=pltpu.VMEM,
         )
 
+    in_specs = [spec(0), spec(1), spec(2)]
+    operands = [qkv, qkv, qkv]
+    if prefix:
+        in_specs.insert(
+            0, pl.BlockSpec(memory_space=pltpu.SMEM)
+        )
+        operands.insert(0, kv_valid.astype(jnp.int32).reshape(1))
+
     out, colsum = pl.pallas_call(
         kernel,
         grid=(b // g, hb),
-        in_specs=[spec(0), spec(1), spec(2)],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (g, n, LANES), lambda i, j: (i, 0, j),
@@ -181,19 +219,28 @@ def _fused_qkv_impl(
             transcendentals=b * num_heads * n * n,
         ),
         interpret=_interpret(),
-    )(qkv, qkv, qkv)
+    )(*operands)
     return out, colsum[:, :, 0, :]
 
 
 def _reduce_scores(
-    colsum: jnp.ndarray, mode: Optional[str], n: int, extra: int
+    colsum: jnp.ndarray,
+    mode: Optional[str],
+    n: int,
+    extra: int,
+    kv_valid: Optional[jnp.ndarray] = None,
 ) -> Optional[jnp.ndarray]:
     if mode is None:
         return None
     h = colsum.shape[1]
     block = colsum[:, :, extra:]
     if mode == "patch_mean":
-        return jnp.sum(block, axis=1) / (h * (n - extra))
+        valid = (
+            (kv_valid - extra).astype(jnp.float32)
+            if kv_valid is not None
+            else float(n - extra)
+        )
+        return jnp.sum(block, axis=1) / (h * valid)
     if mode == "cls":
         return jnp.mean(block, axis=1)
     raise ValueError(mode)
@@ -217,13 +264,23 @@ def fused_qkv_attention(
 
 
 def _qkv_bwd_kernel(
-    q_ref, k_ref, v_ref, do_ref, ds_ref, dq_ref, dk_ref, dv_ref, *,
-    scale, mode, extra, head_dim, heads_per_block, group,
+    *refs,
+    scale, mode, extra, head_dim, heads_per_block, group, prefix,
 ):
     """Fused backward: recompute p per head in VMEM, emit dq/dk/dv in the
     packed layout.  ds_ref carries the (zero-padded-to-N) score cotangent,
-    already scaled by 1/(H*P) ('patch_mean') or 1/H ('cls')."""
+    already scaled by 1/(H*P) ('patch_mean') or 1/H ('cls'); in prefix
+    mode the wrapper pre-scales by the traced 1/(H*valid) instead and the
+    kernel recomputes p with the same key mask as the forward."""
+    if prefix:
+        kv_ref, q_ref, k_ref, v_ref, do_ref, ds_ref, dq_ref, dk_ref, dv_ref = refs
+        kv_valid = kv_ref[0]
+    else:
+        q_ref, k_ref, v_ref, do_ref, ds_ref, dq_ref, dk_ref, dv_ref = refs
+        kv_valid = None
     n = q_ref.shape[1]
+    if prefix:
+        kmask = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) < kv_valid
     for b in range(group):
         for hh in range(heads_per_block):
             sl = slice(hh * head_dim, (hh + 1) * head_dim)
@@ -240,6 +297,8 @@ def _qkv_bwd_kernel(
                 )
                 * scale
             )
+            if prefix:
+                logits = jnp.where(kmask, logits, -1e30)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -254,6 +313,8 @@ def _qkv_bwd_kernel(
                 row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
                 if mode == "patch_mean":
                     rmask = (row >= extra).astype(jnp.float32)
+                    if prefix:
+                        rmask = rmask * (row < kv_valid).astype(jnp.float32)
                 else:  # 'cls'
                     rmask = (row == 0).astype(jnp.float32)
                 dp = dp + rmask * ds[None, :]
@@ -279,7 +340,9 @@ def _qkv_bwd_kernel(
             ).astype(dv_ref.dtype)
 
 
-def _fused_qkv_bwd_impl(qkv, d_out, d_scores, num_heads, mode, num_extra_tokens):
+def _fused_qkv_bwd_impl(
+    qkv, d_out, d_scores, num_heads, mode, num_extra_tokens, kv_valid=None
+):
     b, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
@@ -287,10 +350,18 @@ def _fused_qkv_bwd_impl(qkv, d_out, d_scores, num_heads, mode, num_extra_tokens)
     hb = c // LANES
     g = _batch_group(b, n, qkv.dtype.itemsize, n_io_blocks=7)
     e = num_extra_tokens
+    prefix = kv_valid is not None
 
     # Pre-scale + zero-pad the score cotangent to (B, 1, N).
     if mode is not None and d_scores is not None:
-        denom = num_heads * (n - e) if mode == "patch_mean" else num_heads
+        if mode == "patch_mean":
+            denom = (
+                (kv_valid - e).astype(jnp.float32) * num_heads
+                if prefix
+                else float(num_heads * (n - e))
+            )
+        else:
+            denom = float(num_heads)
         ds = (d_scores.astype(jnp.float32) / denom)
         ds = jnp.pad(ds, ((0, 0), (e, 0)))[:, None, :]  # (B, 1, N)
         eff_mode = mode
@@ -306,6 +377,7 @@ def _fused_qkv_bwd_impl(qkv, d_out, d_scores, num_heads, mode, num_extra_tokens)
         head_dim=d,
         heads_per_block=hpb,
         group=g,
+        prefix=prefix,
     )
 
     def spec(section):
@@ -318,15 +390,20 @@ def _fused_qkv_bwd_impl(qkv, d_out, d_scores, num_heads, mode, num_extra_tokens)
     out_spec = pl.BlockSpec(
         (g, n, LANES), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        spec(0), spec(1), spec(2),
+        out_spec,  # d_out
+        pl.BlockSpec((g, 1, n), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [qkv, qkv, qkv, d_out, ds]
+    if prefix:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.insert(0, kv_valid.astype(jnp.int32).reshape(1))
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(b // g, hb),
-        in_specs=[
-            spec(0), spec(1), spec(2),
-            out_spec,  # d_out
-            pl.BlockSpec((g, 1, n), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, n, c), qkv.dtype)] * 3,
         cost_estimate=pl.CostEstimate(
@@ -335,7 +412,7 @@ def _fused_qkv_bwd_impl(qkv, d_out, d_scores, num_heads, mode, num_extra_tokens)
             transcendentals=b * num_heads * n * n,
         ),
         interpret=_interpret(),
-    )(qkv, qkv, qkv, d_out, ds)
+    )(*operands)
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
@@ -399,6 +476,106 @@ def _bwd(num_heads, mode, num_extra_tokens, residuals, cotangents):
 
 
 fused_qkv_attention.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_qkv_attention_prefix(
+    qkv: jnp.ndarray,
+    kv_valid: jnp.ndarray,
+    num_heads: int,
+    mode: Optional[str] = None,
+    num_extra_tokens: int = 1,
+):
+    """Packed-qkv fused attention with a traced valid-length key mask.
+
+    kv_valid: int scalar — tokens [0, kv_valid) (extras + kept patches)
+    are valid; later columns are masked from the softmax and, for
+    'patch_mean', from the query-row score reduction.  This is the HYBRID
+    anneal's attention (models/vit.py::forward_hybrid): after a bucket
+    gather the kept set is a descending-score prefix, identical across
+    the batch, so one scalar replaces the (B, P) boolean mask — and the
+    fused kernel (probabilities never leave VMEM) stays usable where the
+    masked XLA path would materialize B*H*N^2 in HBM.
+
+    Returns (out (B, N, C), scores (B, N - extra) | None).
+    """
+    out, colsum = _fused_qkv_impl(
+        qkv, num_heads, mode, num_extra_tokens, kv_valid
+    )
+    return out, _reduce_scores(
+        colsum, mode, qkv.shape[1], num_extra_tokens, kv_valid
+    )
+
+
+def _prefix_fwd(qkv, kv_valid, num_heads, mode, num_extra_tokens):
+    out, colsum = _fused_qkv_impl(
+        qkv, num_heads, mode, num_extra_tokens, kv_valid
+    )
+    scores = _reduce_scores(
+        colsum, mode, qkv.shape[1], num_extra_tokens, kv_valid
+    )
+    return (out, scores), (qkv, kv_valid)
+
+
+def _prefix_bwd(num_heads, mode, num_extra_tokens, residuals, cotangents):
+    qkv, kv_valid = residuals
+    d_out, d_scores = cotangents
+    d_qkv = _fused_qkv_bwd_impl(
+        qkv, d_out, d_scores, num_heads, mode, num_extra_tokens, kv_valid
+    )
+    return (d_qkv, None)
+
+
+fused_qkv_attention_prefix.defvjp(_prefix_fwd, _prefix_bwd)
+
+
+def supports_lane_padded(
+    num_heads: int, head_dim: int, n: Optional[int] = None, itemsize: int = 2
+) -> bool:
+    """Feasibility of the lane-padded path: head_dim is NOT a lane divisor
+    (so the plain packed layout fails) but padding every head to 128 lanes
+    yields a supported geometry.  ViT-H (16 heads x 80) is the motivating
+    case (VERDICT r2 weak #6)."""
+    if LANES % head_dim == 0:
+        return False  # plain path applies; padding would only waste FLOPs
+    if head_dim >= LANES:
+        return False
+    return supports(num_heads, LANES, n, itemsize)
+
+
+def fused_qkv_attention_lane_padded(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    mode: Optional[str] = None,
+    num_extra_tokens: int = 1,
+):
+    """Packed-qkv fused attention for head dims that don't divide the
+    128-lane width (ViT-H: 16 heads x 80).
+
+    Each head's q/k/v slice is zero-padded to 128 lanes and the padded
+    tensor goes through the standard kernel.  The math is exact: padded
+    dims contribute 0 to every q.k dot product, and V's padded columns
+    produce zeros that are sliced away.  The kernel scales logits by
+    padded_dim**-0.5, so q is pre-multiplied by sqrt(128/head_dim) —
+    composing to the true head_dim**-0.5 — instead of threading a scale
+    override through the custom_vjp.  Autodiff flows through the
+    pad/reshape/slice into the kernel's own VJP; no extra backward code.
+
+    Costs 128/head_dim more attention FLOPs than a native-width kernel
+    would, but keeps probabilities in VMEM — measured against the XLA
+    fallback in docs/BENCH_NOTES.md.
+    """
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    q3 = qkv.reshape(b, n, 3, num_heads, d)
+    scale_fix = jnp.asarray((LANES / d) ** 0.5, qkv.dtype)
+    q3 = jnp.concatenate([q3[:, :, :1] * scale_fix, q3[:, :, 1:]], axis=2)
+    q3 = jnp.pad(q3, ((0, 0), (0, 0), (0, 0), (0, 0), (0, LANES - d)))
+    packed = q3.reshape(b, n, 3 * num_heads * LANES)
+    out, scores = fused_qkv_attention(packed, num_heads, mode, num_extra_tokens)
+    out = out.reshape(b, n, num_heads, LANES)[..., :d].reshape(b, n, c)
+    return out, scores
 
 
 # ---------------------------------------------------------------------------

@@ -46,8 +46,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Place a host pytree of arrays with leading batch axis onto the mesh,
     sharded over data.  Batch size must divide the mesh size (training uses
-    drop_last like the reference's DataLoader, main_finetune.py:332)."""
+    drop_last like the reference's DataLoader, main_finetune.py:332).
+
+    Multi-host (``jax.process_count() > 1``): each process passes its OWN
+    shard of the global batch (the rows its ``EpochShardSampler(world,
+    rank)`` loaded — the torch DistributedSampler contract,
+    main_finetune.py:292-294) and the global array is assembled across
+    processes; the global batch is ``world * local_batch`` rows."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
