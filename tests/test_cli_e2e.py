@@ -409,3 +409,78 @@ def test_pretrained_head_kernel_reinitialized(corpus, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["cls_token"]), np.asarray(donor["cls_token"])
     )
+
+
+def test_run_ast_cli_imagenet_pretrain_branch(corpus, tmp_path):
+    """--imagenet_pretrain True consumes a local DeiT checkpoint through
+    the real CLI: the trunk starts from the RGB-summed patch embed and
+    the surgically adapted pos-embed (ast_models.py:273-325)."""
+    import torch
+
+    from tpat_tpu.cli.run_ast import get_parser, main
+    from tpat_tpu.utils.checkpoint import restore_checkpoint
+
+    # synthetic DeiT state dict at tiny_debug scale (d=192, depth=6)
+    rng = np.random.default_rng(21)
+    d, depth, hw = 192, 6, 24
+    sd = {}
+
+    def put(k, shape, scale=0.05):
+        sd[k] = torch.from_numpy(
+            (rng.normal(size=shape) * scale).astype(np.float32)
+        )
+
+    put("cls_token", (1, 1, d))
+    put("dist_token", (1, 1, d))
+    put("pos_embed", (1, 2 + hw * hw, d))
+    put("patch_embed.proj.weight", (d, 3, 16, 16))
+    put("patch_embed.proj.bias", (d,))
+    for i in range(depth):
+        b = f"blocks.{i}"
+        put(f"{b}.norm1.weight", (d,), 1.0)
+        put(f"{b}.norm1.bias", (d,))
+        put(f"{b}.attn.qkv.weight", (3 * d, d), 0.2)
+        put(f"{b}.attn.qkv.bias", (3 * d,))
+        put(f"{b}.attn.proj.weight", (d, d))
+        put(f"{b}.attn.proj.bias", (d,))
+        put(f"{b}.norm2.weight", (d,), 1.0)
+        put(f"{b}.norm2.bias", (d,))
+        put(f"{b}.mlp.fc1.weight", (4 * d, d))
+        put(f"{b}.mlp.fc1.bias", (4 * d,))
+        put(f"{b}.mlp.fc2.weight", (d, 4 * d))
+        put(f"{b}.mlp.fc2.bias", (d,))
+    put("norm.weight", (d,), 1.0)
+    put("norm.bias", (d,))
+    put("head.weight", (1000, d))  # importer must ignore DeiT heads
+    put("head.bias", (1000,))
+    pth = tmp_path / "deit_tiny.pth"
+    torch.save(sd, str(pth))
+
+    exp = tmp_path / "exp_deit"
+    argv = [
+        "--dataset", "esc50", "--model_size", "tiny_debug",
+        "--data-train", str(corpus / "train.json"),
+        "--data-val", str(corpus / "eval.json"),
+        "--label-csv", str(corpus / "labels.csv"),
+        "--n_class", "4", "-b", "8", "--n-epochs", "1",
+        "--audio_length", "128", "--metrics", "acc", "--loss", "CE",
+        "--lr", "1e-4", "--drop_loc", "(1, 3)", "--base_keep_rate", "0.6",
+        "--imagenet_pretrain", "True",
+        "--imagenet_pretrained_model_path", str(pth),
+        "--exp-dir", str(exp), "-w", "2",
+    ]
+    score = main(get_parser().parse_args(argv))
+    assert 0.0 <= score <= 1.0
+    assert (exp / "models" / "best_audio_model").exists()
+
+    # missing checkpoint fails loudly (reference downloads via timm;
+    # zero-egress here requires the local path)
+    argv_bad = [a for a in argv if a != str(pth)]
+    argv_bad[argv_bad.index("--imagenet_pretrained_model_path")] = (
+        "--imagenet_pretrained_model_path"
+    )
+    argv_bad.insert(
+        argv_bad.index("--imagenet_pretrained_model_path") + 1, "/nope.pth"
+    )
+    with pytest.raises(FileNotFoundError, match="DeiT"):
+        main(get_parser().parse_args(argv_bad))
