@@ -71,15 +71,18 @@ def main():
 
     pre_dir = os.path.join(wd, "pretrain")
     t0 = time.time()
-    pt.main(pt.get_args_parser().parse_args([
+    if os.path.exists(os.path.join(pre_dir, "mae_pretrained.pth")):
+        print("[chain] pretrain export exists, skipping stage 1", flush=True)
+    else:
+        pt.main(pt.get_args_parser().parse_args([
         "--dataset", "esc50", "--model", "mae_vit_base",
         "--target_length", "512",
         "--data_train", os.path.join(corpus, "train.json"),
         "--label_csv", os.path.join(corpus, "labels.csv"),
         "--batch_size", "32", "--epochs", "2", "--warmup_epochs", "1",
-        "--save_every_epochs", "2", "--num_workers", "8",
-        "--output_dir", pre_dir,
-    ]))
+            "--save_every_epochs", "2", "--num_workers", "8",
+            "--output_dir", pre_dir,
+        ]))
     times["pretrain_2ep"] = time.time() - t0
     ckpt = os.path.join(pre_dir, "mae_pretrained.pth")
     assert os.path.exists(ckpt), "pretrain export missing"
@@ -90,7 +93,11 @@ def main():
 
     ft_dir = os.path.join(wd, "finetune")
     t0 = time.time()
-    ft.main(ft.get_args_parser().parse_args([
+    if os.path.exists(os.path.join(ft_dir, "best_model")):
+        print("[chain] finetuned best_model exists, skipping stage 2",
+              flush=True)
+    else:
+        ft.main(ft.get_args_parser().parse_args([
         "--dataset", "esc50", "--model", "audiomae_vit_base",
         "--data_train", os.path.join(corpus, "train.json"),
         "--data_eval", os.path.join(corpus, "eval.json"),
@@ -100,10 +107,10 @@ def main():
         "--base_keep_rate", "0.7", "--drop_loc", "(3, 6, 9)",
         "--shrink_start_epoch", "2", "--shrink_epochs", "2",
         "--audioset_pretrained_model_path", ckpt,
-        "--output_dir", ft_dir,
-        "--result_path", os.path.join(ft_dir, "result.txt"),
-        "--num_workers", "8",
-    ]))
+            "--output_dir", ft_dir,
+            "--result_path", os.path.join(ft_dir, "result.txt"),
+            "--num_workers", "8",
+        ]))
     times["finetune_6ep"] = time.time() - t0
     print(f"[chain] finetune 6 epochs (3 phases): {times['finetune_6ep']:.1f}s",
           flush=True)
@@ -115,7 +122,7 @@ def main():
         "--dataset", "esc50", "--model", "audiomae_vit_base",
         "--data_eval", os.path.join(corpus, "eval.json"),
         "--label_csv", os.path.join(corpus, "labels.csv"),
-        "--nb_classes", "50", "--batch_size", "64",
+        "--nb_classes", "50", "--batch_size", "64", "--epochs", "1",
         "--base_keep_rate", "0.7", "--drop_loc", "(3, 6, 9)",
         "--eval", "--flag_extract_features", "True",
         "--extract_features_path", feats,
