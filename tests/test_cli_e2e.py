@@ -484,3 +484,26 @@ def test_run_ast_cli_imagenet_pretrain_branch(corpus, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="DeiT"):
         main(get_parser().parse_args(argv_bad))
+
+
+def test_run_ast_checkpoint_path_requires_flag(corpus, tmp_path):
+    """A supplied --audioset_pretrained_model_path without
+    --audioset_pretrain True fails loudly instead of silently training
+    from scratch (the reference consults the path only inside the
+    audioset_pretrain branch, ast_models.py:343-349)."""
+    from tpat_tpu.cli.run_ast import get_parser, main
+
+    argv = [
+        "--dataset", "esc50", "--model_size", "tiny_debug",
+        "--data-train", str(corpus / "train.json"),
+        "--data-val", str(corpus / "eval.json"),
+        "--label-csv", str(corpus / "labels.csv"),
+        "--n_class", "4", "-b", "8", "--n-epochs", "1",
+        "--audio_length", "128", "--metrics", "acc", "--loss", "CE",
+        "--drop_loc", "(1, 3)",
+        "--imagenet_pretrain", "False",
+        "--audioset_pretrained_model_path", str(tmp_path / "ckpt.pth"),
+        "--exp-dir", str(tmp_path / "exp_guard"), "-w", "2",
+    ]
+    with pytest.raises(ValueError, match="audioset_pretrain"):
+        main(get_parser().parse_args(argv))

@@ -183,3 +183,37 @@ def test_audioset_pretrained_geometry_import(tmp_path, rng):
     )
     logits = model.apply({"params": params}, x0)
     assert logits.shape == (1, 50) and np.isfinite(np.asarray(logits)).all()
+
+
+def test_serving_export_roundtrip(tmp_path):
+    """jax.export serving artifact (utils/serving.py): serialize the
+    static-pruned eval forward + params, reload WITHOUT the model object,
+    and require identical logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpat_tpu.config import ViTConfig
+    from tpat_tpu.models.vit import AudioViT
+    from tpat_tpu.utils import serving
+
+    cfg = ViTConfig(
+        embed_dim=64, depth=3, num_heads=2, num_classes=5,
+        target_length=64, num_mel_bins=32, drop_loc=(1,),
+        base_keep_rate=0.6, drop_path_rate=0.0, attention_impl="xla",
+    )
+    model = AudioViT(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 1, 64, 32)).astype(np.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x))[
+        "params"
+    ]
+    want = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+
+    out = serving.export_forward(
+        model, params, (4, 1, 64, 32), str(tmp_path / "artifact")
+    )
+    fn, meta = serving.load_forward(out)
+    got = np.asarray(fn(x))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    assert meta["input_shape"] == [4, 1, 64, 32]
+    assert (tmp_path / "artifact" / "forward.jaxexport").exists()

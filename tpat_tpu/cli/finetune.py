@@ -391,34 +391,50 @@ def dist_eval_batches(ds_val, batch_size):
         yield x, y[:valid], valid
 
 
-def _eval_once(args, model, module, loader_val, params, **kw):
+def _eval_once(
+    args, model, module, loader_val, params,
+    feature_writer=None, index_to_name=None, intensity_band=None,
+):
     """One evaluation pass, dist-eval aware: with --dist_eval and multiple
     processes, each host scores its unpadded shard and logits are gathered
     (engine_finetune.py:246-248); otherwise every host scores the full
-    set."""
+    set.  The single source of the dist-eval policy — both --eval and the
+    in-training eval dispatch through here.  Like the reference (which
+    sets use_custom_rank model-wide, main_finetune.py:448-450), the
+    custom-rank ablation applies to every eval."""
     import jax
 
     from tpat_tpu.engine import evaluate as eval_lib
 
+    if feature_writer is not None and jax.process_count() > 1:
+        # the reference's args_checker demands world_size 1 for extraction
+        # (main_finetune.py:232); multi-host extraction would also fetch
+        # non-addressable feature arrays and collide per-rank batch files
+        raise ValueError(
+            "feature extraction requires a single process "
+            "(main_finetune.py:232)"
+        )
     dist = args.dist_eval and jax.process_count() > 1
     if dist:
         batches = dist_eval_batches(loader_val.dataset, args.batch_size)
     else:
         batches = ((x, y) for x, y, _ in loader_val)
-    fn = (
-        eval_lib.evaluate_multilabel
-        if args.dataset == "audioset"
-        else eval_lib.evaluate_classification
-    )
-    return fn(
+    if args.dataset == "audioset":
+        return eval_lib.evaluate_multilabel(
+            model, params, batches, args.batch_size, module.mesh,
+            feature_writer=feature_writer,
+            preprocess=module.preprocess, allgather=dist,
+        )
+    return eval_lib.evaluate_classification(
         model, params, batches, args.batch_size, module.mesh,
-        preprocess=module.preprocess, allgather=dist, **kw,
+        feature_writer=feature_writer, index_to_name=index_to_name,
+        custom_rank=args.custom_rank, intensity_band=intensity_band,
+        preprocess=module.preprocess, allgather=dist,
     )
 
 
 def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
     from tpat_tpu.data.datasets import make_name_dict
-    from tpat_tpu.engine import evaluate as eval_lib
     from tpat_tpu.utils.features import FeatureWriter
 
     writer = None
@@ -437,28 +453,12 @@ def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
         assert args.base_keep_rate == 1.0, "band ablation needs keep 1.0"
         intensity_band = (args.retain_min, args.retain_max, args.drop_token_blk_idx)
 
-    import jax
-
-    dist = args.dist_eval and jax.process_count() > 1
-    if dist:
-        batches = dist_eval_batches(loader_val.dataset, args.batch_size)
-    else:
-        batches = ((x, y) for x, y, _ in loader_val)
-    if args.dataset == "audioset":
-        stats = eval_lib.evaluate_multilabel(
-            model, params, batches, args.batch_size, module.mesh,
-            feature_writer=writer, preprocess=module.preprocess,
-            allgather=dist,
-        )
-        metric = "mAP"
-    else:
-        stats = eval_lib.evaluate_classification(
-            model, params, batches, args.batch_size, module.mesh,
-            feature_writer=writer, index_to_name=index_to_name,
-            custom_rank=args.custom_rank, intensity_band=intensity_band,
-            preprocess=module.preprocess, allgather=dist,
-        )
-        metric = "acc1"
+    stats = _eval_once(
+        args, model, module, loader_val, params,
+        feature_writer=writer, index_to_name=index_to_name,
+        intensity_band=intensity_band,
+    )
+    metric = "mAP" if args.dataset == "audioset" else "acc1"
     print(f"{metric}: {stats[metric]:.4f}")
     if args.result_path:
         with open(args.result_path, "w") as f:
@@ -470,7 +470,6 @@ def main(args):
     import jax
     import jax.numpy as jnp
 
-    from tpat_tpu.engine import evaluate as eval_lib
     from tpat_tpu.parallel import distributed as dist_lib
     from tpat_tpu.utils.checkpoint import BestCheckpointKeeper
 
@@ -500,16 +499,23 @@ def main(args):
             yaml.dump(vars(args), f)
 
     tb = None
+    tb_dir = out / "tb_log"
+    # refuse to clobber an existing run (main_finetune.py:313-316); resume
+    # appends to the same log.  Rank 0's verdict is broadcast so every
+    # process stops in lockstep — a rank-0-only SystemExit would leave the
+    # other hosts waiting in the first training collective.
+    stop = tb_dir.exists() and not args.resume
+    if world > 1:
+        from jax.experimental import multihost_utils as mh
+
+        stop = bool(mh.broadcast_one_to_all(np.asarray(stop)))
+    if stop:
+        print(f"!! path {tb_dir} exists, stop training")
+        raise SystemExit(1)
     if is_main:
         try:  # TensorBoard scalars like the reference (main_finetune.py:311-319)
             from torch.utils.tensorboard import SummaryWriter
 
-            tb_dir = out / "tb_log"
-            if tb_dir.exists() and not args.resume:
-                # refuse to clobber an existing run (main_finetune.py:313-316);
-                # resume appends to the same log
-                print(f"!! path {tb_dir} exists, stop training")
-                raise SystemExit(1)
             tb = SummaryWriter(str(tb_dir))
         except ImportError:
             pass

@@ -173,6 +173,16 @@ def main(args):
         # pretraining underneath, :345); imagenet_pretrain alone -> DeiT
         # surgery; neither -> from-scratch (fresh trunc-normal(0.02)
         # pos-embed, :327-331 — exactly this model's cold init).
+        if args.audioset_pretrained_model_path and not args.audioset_pretrain:
+            # a supplied checkpoint with audioset_pretrain=False would be
+            # silently ignored — fail loudly instead (the reference only
+            # consults the path when audioset_pretrain=True,
+            # ast_models.py:343-349)
+            raise ValueError(
+                "--audioset_pretrained_model_path was given but "
+                "--audioset_pretrain is False; pass --audioset_pretrain "
+                "True to load it"
+            )
         if args.audioset_pretrain:
             if not args.imagenet_pretrain:
                 raise ValueError(
@@ -382,6 +392,15 @@ def main(args):
     # test set and write eval_result.csv = [val_acc, val_auc, eval_acc,
     # eval_auc] (run.py:230-255)
     if args.dataset == "speechcommands" and args.data_eval:
+        if world > 1:
+            # only rank 0 reaches this point (non-main returned above) and
+            # a global-mesh eval is a collective — running it here alone
+            # would deadlock.  Run it single-process via --eval instead.
+            print(
+                "[run_ast] skipping the final SPC dual eval under "
+                "multi-host; rerun single-process with --eval"
+            )
+            return keeper.best_score
         best = os.path.join(args.exp_dir, "models", "best_audio_model")
         params = restore_checkpoint(best)["params"]
         ds_eval = AudiosetDataset(

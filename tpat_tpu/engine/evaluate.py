@@ -81,11 +81,16 @@ def _local_rows(arr) -> np.ndarray:
     (``mesh.shard_batch`` lays process-local data onto local devices)."""
     if jax.process_count() == 1:
         return np.asarray(arr)
-    shards = sorted(
-        arr.addressable_shards,
-        key=lambda s: s.index[0].start if s.index[0].start is not None else 0,
-    )
-    return np.concatenate([np.asarray(s.data) for s in shards])
+    # Dedupe by row range: on a 2-D (data, model) mesh each data shard is
+    # replicated across the model axis, so multiple addressable shards
+    # carry the SAME rows — concatenating them all would duplicate rows
+    # and silently corrupt metrics.
+    seen = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start if s.index[0].start is not None else 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)])
 
 
 def allgather_rows(arr: np.ndarray) -> np.ndarray:
