@@ -19,6 +19,12 @@ import jax  # noqa: E402
 # unit tests never dispatch over the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache for the test suite: the tiny-model jits are
+# identical across runs, so re-runs skip most XLA compiles.
+os.makedirs("/tmp/jax_cache_tests", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
