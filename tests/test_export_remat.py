@@ -217,3 +217,48 @@ def test_serving_export_roundtrip(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
     assert meta["input_shape"] == [4, 1, 64, 32]
     assert (tmp_path / "artifact" / "forward.jaxexport").exists()
+
+
+def test_export_serving_cli(tmp_path):
+    """The export CLI end-to-end: orbax checkpoint in, loadable serving
+    artifact out, logits identical to the live model."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpat_tpu.cli.export_serving import get_parser, main
+    from tpat_tpu.config import audiomae_vit_tiny
+    from tpat_tpu.models.vit import AudioViT
+    from tpat_tpu.utils import serving
+    from tpat_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = audiomae_vit_tiny(
+        num_classes=4, target_length=64, num_mel_bins=128,
+        drop_loc=(1,), base_keep_rate=0.6, drop_path_rate=0.0,
+        compute_dtype="float32",
+    )
+    model = AudioViT(cfg)
+    x0 = jnp.zeros((1, 1, 64, 128))
+    params = model.init({"params": jax.random.PRNGKey(1)}, x0)["params"]
+
+    class S:  # minimal state for save_checkpoint
+        pass
+
+    s = S()
+    s.params = params
+    s.opt_state = {}
+    s.step = jnp.zeros((), jnp.int32)
+    save_checkpoint(str(tmp_path / "ckpt"), s, epoch=0)
+
+    out = main(get_parser().parse_args([
+        "--model", "audiomae_vit_tiny", "--dataset", "esc50",
+        "--nb_classes", "4", "--target_length", "64",
+        "--base_keep_rate", "0.6", "--drop_loc", "(1,)",
+        "--compute_dtype", "float32",
+        "--finetuned_model_path", str(tmp_path / "ckpt"),
+        "--batch_size", "2", "--out_dir", str(tmp_path / "artifact"),
+    ]))
+    fn, meta = serving.load_forward(out)
+    x = np.random.default_rng(0).normal(size=(2, 1, 64, 128)).astype(np.float32)
+    got = np.asarray(fn(x))
+    want = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

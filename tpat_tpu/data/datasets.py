@@ -30,6 +30,28 @@ from tpat_tpu.data.wav import load_wav
 from tpat_tpu.ops import fbank as fb
 
 
+def _host_fbank(wav: np.ndarray, sr: int, num_mel_bins: int) -> np.ndarray:
+    """Kaldi fbank for the host pipeline, backend chosen by core count.
+
+    The pure-numpy path is faster single-threaded (pocketfft) but holds
+    the GIL through its Python framing loop, so the threaded DataLoader
+    cannot scale it across cores; the native C++ kernel releases the GIL
+    for the whole computation and parallelizes cleanly under the loader's
+    thread pool.  Measured on this image's 1-core host: numpy 2.8 ms vs
+    native 4.5 ms per 5-s clip, identical at any worker count — so on a
+    single core numpy wins; on the multi-core hosts real TPU VMs have,
+    the GIL-free native path is the one that scales.  Both implement the
+    same Kaldi spec (hanning, dither 0, htk_compat) and agree to ~1e-4
+    (tests/test_native_frontend.py); TPAT_DISABLE_NATIVE=1 forces numpy."""
+    from tpat_tpu.data import native
+
+    if native.available() and (os.cpu_count() or 1) > 1:
+        return native.fbank(wav, sr, num_mel_bins)
+    return fb.fbank_numpy(
+        wav, fb.FbankConfig(sample_rate=sr, num_mel_bins=num_mel_bins)
+    )
+
+
 def make_index_dict(label_csv: str) -> Dict[str, int]:
     """mid -> class index (dataset.py:101-109)."""
     out = {}
@@ -110,12 +132,7 @@ class AudiosetDataset:
         if path2 is not None:
             w2, _ = self._load_centered(path2, rng)
             w1, lam = augment.mixup_waveforms(w1, w2, rng)
-        mel = fb.fbank_numpy(
-            w1[0],
-            fb.FbankConfig(
-                sample_rate=sr, num_mel_bins=self.cfg.num_mel_bins
-            ),
-        )
+        mel = _host_fbank(w1[0], sr, self.cfg.num_mel_bins)
         mel = fb.pad_or_crop(mel, self.cfg.target_length)
         return mel, lam
 
@@ -252,10 +269,7 @@ class VoxCeleb1Dataset:
         wav = wav - wav.mean()
         if self.roll_mag:
             wav = augment.roll_mag_aug(wav, rng)
-        mel = fb.fbank_numpy(
-            wav[0],
-            fb.FbankConfig(sample_rate=sr, num_mel_bins=self.cfg.num_mel_bins),
-        )
+        mel = _host_fbank(wav[0], sr, self.cfg.num_mel_bins)
         pad_left = 0
         deficit = self.cfg.target_length - mel.shape[0]
         if self.lr_pad and deficit > 0:
