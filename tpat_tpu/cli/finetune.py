@@ -43,6 +43,17 @@ def get_args_parser():
                             "audiomae_vit_large", "audiomae_vit_tiny",
                             "ast_vit_base"])
     p.add_argument("--drop_path", type=float, default=0.1)
+    # the reference trains under torch.amp autocast (engine_finetune.py:
+    # 102); the TPU equivalent is bfloat16 matmuls with f32 softmax/
+    # statistics and no loss scaler — on by default, like AMP upstream
+    p.add_argument(
+        "--compute_dtype", default="bfloat16",
+        choices=["bfloat16", "float32"],
+    )
+    # jax.profiler trace of one training epoch (TPU-native replacement
+    # for the reference's torch.cuda wall-clock meters, SURVEY §5)
+    p.add_argument("--profile_dir", default=None, type=str)
+    p.add_argument("--profile_epoch", default=1, type=int)
     # optimizer
     p.add_argument("--clip_grad", type=float, default=None)
     p.add_argument("--weight_decay", type=float, default=1e-4)
@@ -184,6 +195,7 @@ def build_everything(args):
         drop_path_rate=args.drop_path,
         drop_loc=drop_loc,
         base_keep_rate=args.base_keep_rate,
+        compute_dtype=args.compute_dtype,
     )
     model = AudioViT(model_cfg)
 
@@ -557,9 +569,17 @@ def main(args):
             loader_train.dataset.timem = 0
 
         batches = ((x, y) for x, y, _ in loader_train)
-        state, train_stats = module.train_epoch(
-            state, batches, epoch, log_every=20, tb_writer=tb
+        from tpat_tpu.utils.logging import profiler_trace
+
+        trace_dir = (
+            args.profile_dir
+            if (args.profile_dir and epoch == args.profile_epoch and is_main)
+            else None
         )
+        with profiler_trace(trace_dir):
+            state, train_stats = module.train_epoch(
+                state, batches, epoch, log_every=20, tb_writer=tb
+            )
 
         if epoch >= args.first_eval_ep:
             test_stats = _eval_once(

@@ -46,6 +46,11 @@ def get_args_parser():
     p.add_argument("--num_workers", default=4, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--save_every_epochs", default=4, type=int)
+    # bf16 = the TPU form of the reference's AMP training; f32 opt-out
+    p.add_argument(
+        "--compute_dtype", default="bfloat16",
+        choices=["bfloat16", "float32"],
+    )
     p.add_argument("--resume", default="",
                    help="orbax checkpoint dir to resume from")
     p.add_argument("--export_torch", default=True, type=str2bool,
@@ -94,6 +99,7 @@ def main(args):
         mask_2d=args.mask_2d,
         mask_t_prob=args.mask_t_prob,
         mask_f_prob=args.mask_f_prob,
+        compute_dtype=args.compute_dtype,
     )
     if args.model == "mae_vit_base":
         cfg = mae_vit_base_dec512d8b(**common)

@@ -77,6 +77,12 @@ def get_parser():
     p.add_argument("--drop_token_blk_idx", default=None, type=int)
     p.add_argument("--first_eval_epoch", default=0, type=int)
     p.add_argument("--eval_result_path", default="eval_result.csv", type=str)
+    # the reference trains under torch.amp autocast (traintest.py:175);
+    # bf16 matmuls + f32 softmax are the TPU equivalent — on by default
+    p.add_argument(
+        "--compute_dtype", default="bfloat16",
+        choices=["bfloat16", "float32"],
+    )
     return p
 
 
@@ -139,6 +145,7 @@ def main(args):
         target_length=args.audio_length,
         drop_loc=drop_loc,
         base_keep_rate=args.base_keep_rate,
+        compute_dtype=args.compute_dtype,
     )
     if args.model_size == "tiny_debug":  # smoke-test scale, not in reference
         model_cfg = dataclasses.replace(
