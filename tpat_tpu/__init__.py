@@ -24,6 +24,7 @@ from tpat_tpu.config import (  # noqa: F401
     ViTConfig,
     ast_vit_base,
     audiomae_vit_base,
+    audiomae_vit_huge,
     audiomae_vit_large,
     audiomae_vit_small,
     audiomae_vit_tiny,

@@ -13,7 +13,7 @@ from the attention map), preserving extra tokens at the front and ordering
 kept tokens by descending importance; the MLP then runs on the reduced
 sequence.
 
-Two TPU execution modes:
+Three TPU execution modes:
 
 - ``__call__`` / ``forward_features``: **static** keep-rates known at trace
   time -> physical gather, every sequence length a static shape, one XLA
@@ -25,6 +25,12 @@ Two TPU execution modes:
   outputs are bit-for-bit the same math as physical pruning, but shapes stay
   full so the per-iteration cosine keep-rate anneal
   (``engine_finetune.py:29-53``) never recompiles.
+
+- ``forward_hybrid`` (the training default): the best of both — static
+  bucket-level widths (physical gathers, <= anneal_buckets compiles)
+  carrying the exact traced schedule as a contiguous prefix mask the
+  fused prefix kernel consumes.  Near-static step cost at exact
+  reference semantics (docs/BENCH_NOTES.md "Hybrid anneal").
 """
 
 from __future__ import annotations
