@@ -118,6 +118,84 @@ def measure_train_step() -> float:
     return best
 
 
+def measure_pretrain_step() -> float:
+    """MAE pretrain step time (ms): ViT-B encoder + swin_v2_cr decoder
+    (fused dense-masked window-attention kernel), mask ratio 0.8, ESC-50
+    geometry, b32, bf16, donated AdamW step — the configuration
+    docs/BENCH_NOTES.md "MAE pretrain step" tracks."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tpat_tpu.models.mae import MaskedAutoencoderViT, mae_vit_base_dec512d8b
+
+    batch, iters = 32, 20
+    cfg = mae_vit_base_dec512d8b(
+        target_length=TARGET_LENGTH, num_mel_bins=128, decoder_mode=1,
+        compute_dtype="bfloat16",
+    )
+    model = MaskedAutoencoderViT(cfg)
+    x0 = jnp.zeros((1, 1, TARGET_LENGTH, 128))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        x0, 0.8,
+    )["params"]
+
+    def decay_mask_fn(path, p):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return p.ndim > 1 and name not in ("pos_embed", "decoder_pos_embed")
+
+    tx = optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.95),
+        optax.add_decayed_weights(
+            1e-4,
+            mask=jax.tree_util.tree_map_with_path(decay_mask_fn, params),
+        ),
+        optax.scale_by_schedule(lambda s: -1e-4),
+    )
+    opt_state = tx.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, opt_state, loss_sum, rng, step, x):
+        def loss_fn(p):
+            r = jax.random.fold_in(rng, step)
+            r_mask, r_drop = jax.random.split(r)
+            loss, _, _ = model.apply(
+                {"params": p}, x, 0.8, deterministic=False,
+                rngs={"masking": r_mask, "dropout": r_drop},
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss_sum + loss
+
+    gen = jax.jit(
+        lambda k: jax.random.normal(k, (batch, 1, TARGET_LENGTH, 128), jnp.float32)
+    )
+    x = gen(jax.random.PRNGKey(2))
+    float(jnp.sum(x))
+    rng = jax.random.PRNGKey(0)
+    loss_sum = jnp.zeros(())
+    params, opt_state, loss_sum = train_step(
+        params, opt_state, loss_sum, rng, jnp.asarray(0), x
+    )
+    float(loss_sum)
+    best, step = float("inf"), 1
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, loss_sum = train_step(
+                params, opt_state, loss_sum, rng, jnp.asarray(step), x
+            )
+            step += 1
+        float(loss_sum)
+        best = min(best, (time.perf_counter() - t0) / iters * 1000)
+    return best
+
+
 # bump when the baseline methodology changes — stale caches re-measure
 BASELINE_VERSION = "v2-refmath-b32-i10"
 
@@ -233,6 +311,11 @@ def main():
     except Exception as e:  # train probe failure must not kill the headline
         print(f"train-step measurement failed: {e}", file=sys.stderr)
         train_ms = None
+    try:
+        pretrain_ms = round(measure_pretrain_step(), 1)
+    except Exception as e:
+        print(f"pretrain-step measurement failed: {e}", file=sys.stderr)
+        pretrain_ms = None
     result = {
         "metric": "clips/sec/chip ViT-B keep0.7 ESC-50 eval (bf16, fused attention)",
         "value": round(value, 1),
@@ -242,6 +325,10 @@ def main():
         "train_step_ms_b64_bf16_static": train_ms,
         "train_clips_per_sec": (
             round(64 / train_ms * 1000, 1) if train_ms else None
+        ),
+        "mae_pretrain_step_ms_b32_bf16": pretrain_ms,
+        "mae_pretrain_clips_per_sec": (
+            round(32 / pretrain_ms * 1000, 1) if pretrain_ms else None
         ),
     }
     print(json.dumps(result))

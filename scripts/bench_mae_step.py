@@ -1,0 +1,168 @@
+"""MAE pretrain-step bench on the real TPU: swin vs plain decoder, with
+optional per-op-category profiler attribution.
+
+Reproduces the cli/pretrain.py train step (donated AdamW step, bf16,
+mask_ratio 0.8) at ESC-50 geometry (512x128 -> grid (32,8), 256 patches)
+batch 32.
+
+Usage: python scripts/bench_mae_step.py [swin|plain|both] [--profile]
+"""
+
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpat_tpu.models.mae import MAEConfig, MaskedAutoencoderViT, mae_vit_base_dec512d8b
+
+BATCH = 32
+TL = 512
+MASK_RATIO = 0.8
+ITERS = 20
+
+
+def build(decoder_mode: int, window_impl: str = "auto"):
+    cfg = mae_vit_base_dec512d8b(
+        target_length=TL, num_mel_bins=128, decoder_mode=decoder_mode,
+        compute_dtype="bfloat16", window_attention_impl=window_impl,
+    )
+    model = MaskedAutoencoderViT(cfg)
+    x0 = jnp.zeros((1, 1, TL, 128))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        x0, MASK_RATIO,
+    )["params"]
+
+    def decay_mask_fn(path, p):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return p.ndim > 1 and name not in ("pos_embed", "decoder_pos_embed")
+
+    tx = optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.95),
+        optax.add_decayed_weights(
+            1e-4, mask=jax.tree_util.tree_map_with_path(decay_mask_fn, params)
+        ),
+        optax.scale_by_schedule(lambda s: -1e-4),
+    )
+    opt_state = tx.init(params)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, opt_state, loss_sum, rng, step, x):
+        def loss_fn(p):
+            r = jax.random.fold_in(rng, step)
+            r_mask, r_drop = jax.random.split(r)
+            loss, _, _ = model.apply(
+                {"params": p}, x, MASK_RATIO, deterministic=False,
+                rngs={"masking": r_mask, "dropout": r_drop},
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss_sum + loss
+
+    return params, opt_state, train_step
+
+
+def measure(
+    decoder_mode: int, profile: bool = False, window_impl: str = "auto"
+) -> float:
+    params, opt_state, train_step = build(decoder_mode, window_impl)
+    gen = jax.jit(
+        lambda k: jax.random.normal(k, (BATCH, 1, TL, 128), jnp.float32)
+    )
+    x = gen(jax.random.PRNGKey(2))
+    float(jnp.sum(x))
+    rng = jax.random.PRNGKey(0)
+    loss_sum = jnp.zeros(())
+    params, opt_state, loss_sum = train_step(
+        params, opt_state, loss_sum, rng, jnp.asarray(0), x
+    )
+    float(loss_sum)  # compile + execute
+    best = float("inf")
+    step = 1
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            params, opt_state, loss_sum = train_step(
+                params, opt_state, loss_sum, rng, jnp.asarray(step), x
+            )
+            step += 1
+        float(loss_sum)
+        best = min(best, (time.perf_counter() - t0) / ITERS * 1000)
+    if profile:
+        trace_dir = f"/tmp/mae_trace_mode{decoder_mode}"
+        os.system(f"rm -rf {trace_dir}")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(5):
+                params, opt_state, loss_sum = train_step(
+                    params, opt_state, loss_sum, rng, jnp.asarray(step), x
+                )
+                step += 1
+            float(loss_sum)
+        summarize_trace(trace_dir)
+    return best
+
+
+def summarize_trace(trace_dir: str):
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        print("no trace found", file=sys.stderr)
+        return
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        trace = json.load(f)
+    cats = defaultdict(float)
+    device_pids = set()
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            name = ev.get("args", {}).get("name", "")
+            if "TPU" in name or "/device" in name.lower():
+                device_pids.add(ev["pid"])
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+            continue
+        name = ev.get("name", "")
+        dur = ev.get("dur", 0) / 1e3  # ms
+        key = name.split(".")[0].split("(")[0][:50]
+        cats[key] += dur
+    total = sum(cats.values())
+    print(f"-- device op time over 5 steps ({total:.1f} ms total):")
+    for k, v in sorted(cats.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"  {v / 5:7.2f} ms/step  {k}")
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    profile = "--profile" in sys.argv
+    variants = {
+        "swin": [(1, "auto")],
+        "swin_xla": [(1, "xla")],
+        "plain": [(0, "auto")],
+        "both": [(1, "auto"), (0, "auto")],
+        "all": [(1, "auto"), (1, "xla"), (0, "auto")],
+    }[which]
+    for m, impl in variants:
+        ms = measure(m, profile=profile and m == 1, window_impl=impl)
+        name = (
+            f"swin_v2_cr[{impl}]" if m == 1 else "plain"
+        )
+        print(
+            f"MAE pretrain step b{BATCH} {TL}x128 bf16 decoder={name}: "
+            f"{ms:.1f} ms/step ({BATCH / ms * 1000:.0f} clips/s)"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -68,6 +68,11 @@ class MAEConfig:
     mask_t_prob: float = 0.7
     mask_f_prob: float = 0.3
     compute_dtype: str = "float32"
+    # 'auto' uses the fused Pallas window-attention kernel when the
+    # geometry supports it (head_dim divides 128, dim % 128 == 0 —
+    # true for the reference decoder: 512 dim, 16 heads), else the XLA
+    # restatement; 'xla' forces the reference-shaped lowering.
+    window_attention_impl: str = "auto"
     # models_mae.py:33,55,69 — the sin-cos pos embeds are nn.Parameters
     # with requires_grad=pos_trainable, default False: frozen throughout
     # pretraining (gradient stopped in the forward; the driver also
@@ -167,7 +172,22 @@ class WindowAttentionV2(nn.Module):
     relative-position bias from a 2-layer ReLU meta-MLP over log-spaced
     coordinates, including timm's hard-coded meta-MLP hidden dropout
     ``drop=(0.125, 0.)`` (active while training — the pretrain driver runs
-    with ``deterministic=False``)."""
+    with ``deterministic=False``).
+
+    Two execution paths sharing one parameter layout (same submodule
+    names and shapes — checkpoints are interchangeable):
+
+    - ``__call__`` with ``dense_geometry``: the fused Pallas kernel
+      (``ops/pallas_window_attention.py``) evaluates window attention as
+      dense masked attention over the WHOLE token grid — the partition,
+      shift roll, region mask and relative-position bias collapse into a
+      static per-head additive template, the kernel consumes the packed
+      qkv Dense output directly (no head split/merge permutes), and
+      probabilities never leave VMEM.  Motivated by ~45 ms/step of XLA
+      window machinery at MAE-base b32 (scripts/bench_mae_step.py).
+    - ``__call__`` on partitioned windows: the reference restatement
+      (parity/fallback path).
+    """
 
     dim: int
     num_heads: int
@@ -175,18 +195,56 @@ class WindowAttentionV2(nn.Module):
     meta_hidden_dim: int = 384
     dtype: Any = jnp.float32
 
+    def _bias_table(self, n: int, deterministic: bool) -> Array:
+        """(H, L, L) log-CPB relative-position bias from the meta-MLP."""
+        h = self.num_heads
+        rel_log = jnp.asarray(_relative_coordinates_log(self.window))
+        bias = nn.Dense(
+            self.meta_hidden_dim, name="meta_fc1", kernel_init=_xavier
+        )(rel_log)
+        bias = nn.relu(bias)
+        # timm meta_mlp drop=(0.125, 0.): dropout on the hidden activation
+        bias = nn.Dropout(0.125)(bias, deterministic=deterministic)
+        bias = nn.Dense(h, name="meta_fc2", kernel_init=_xavier)(bias)
+        return bias.transpose(1, 0).reshape(h, n, n)
+
     @nn.compact
     def __call__(
         self, x: Array, mask: Optional[Array] = None,
         deterministic: bool = True,
+        dense_geometry: Optional[tuple] = None,
     ) -> Array:
-        # x: (num_windows*B, tokens, dim); mask: (num_windows, tokens, tokens)
+        # partitioned call: x (num_windows*B, tokens, dim),
+        #   mask (num_windows, tokens, tokens)
+        # dense call:       x (B, T*F, dim), mask unused,
+        #   dense_geometry = (feat_size, shift, region_mask|None)
         b, n, c = x.shape
         h = self.num_heads
         wh, ww = self.window
-        assert n == wh * ww
         qkv = nn.Dense(3 * c, name="qkv", kernel_init=_xavier,
                        dtype=self.dtype)(x)
+
+        logit_scale = self.param(
+            "logit_scale",
+            lambda rng, shape: jnp.full(shape, np.log(10.0), jnp.float32),
+            (h,),
+        )
+        scale = jnp.exp(jnp.minimum(logit_scale, np.log(1.0 / 0.01)))
+        bias = self._bias_table(wh * ww, deterministic)
+
+        if dense_geometry is not None:
+            from tpat_tpu.ops import pallas_window_attention as pwa
+
+            feat_size, shift, region_mask = dense_geometry
+            template = pwa.build_window_template(
+                bias.astype(jnp.float32), feat_size, self.window, shift,
+                region_mask,
+            )
+            out = pwa.fused_window_attention(qkv, scale, template)
+            return nn.Dense(c, name="proj", kernel_init=_xavier,
+                            dtype=self.dtype)(out)
+
+        assert n == wh * ww
         qkv = qkv.reshape(b, n, 3, h, c // h).transpose(2, 0, 3, 1, 4)
         # cosine/softmax math in f32 regardless of compute dtype
         q = qkv[0].astype(jnp.float32)
@@ -201,23 +259,7 @@ class WindowAttentionV2(nn.Module):
             jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12
         )
         logits = jnp.einsum("bhqd,bhkd->bhqk", qn, kn)
-        logit_scale = self.param(
-            "logit_scale",
-            lambda rng, shape: jnp.full(shape, np.log(10.0), jnp.float32),
-            (h,),
-        )
-        scale = jnp.exp(jnp.minimum(logit_scale, np.log(1.0 / 0.01)))
         logits = logits * scale.reshape(1, h, 1, 1)
-
-        rel_log = jnp.asarray(_relative_coordinates_log(self.window))
-        bias = nn.Dense(
-            self.meta_hidden_dim, name="meta_fc1", kernel_init=_xavier
-        )(rel_log)
-        bias = nn.relu(bias)
-        # timm meta_mlp drop=(0.125, 0.): dropout on the hidden activation
-        bias = nn.Dropout(0.125)(bias, deterministic=deterministic)
-        bias = nn.Dense(h, name="meta_fc2", kernel_init=_xavier)(bias)
-        bias = bias.transpose(1, 0).reshape(h, n, n)
         logits = logits + bias[None]
 
         if mask is not None:
@@ -247,6 +289,7 @@ class SwinBlock(nn.Module):
     shift: Tuple[int, int]
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -257,24 +300,39 @@ class SwinBlock(nn.Module):
         st, sf = self.shift
         assert l == t * f
 
-        h = x.reshape(b, t, f, d)
-        if st or sf:
-            h = jnp.roll(h, shift=(-st, -sf), axis=(1, 2))
-        # window partition
-        h = h.reshape(b, t // wh, wh, f // ww, ww, d)
-        h = h.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww, d)
+        from tpat_tpu.ops import pallas_window_attention as pwa
+
         mask = _shift_attn_mask(self.feat_size, self.window, self.shift)
-        h = WindowAttentionV2(
+        attn = WindowAttentionV2(
             d, self.num_heads, self.window, dtype=self.dtype, name="attn"
-        )(
-            h, None if mask is None else jnp.asarray(mask),
-            deterministic=deterministic,
         )
-        # reverse
-        h = h.reshape(b, t // wh, f // ww, wh, ww, d)
-        h = h.transpose(0, 1, 3, 2, 4, 5).reshape(b, t, f, d)
-        if st or sf:
-            h = jnp.roll(h, shift=(st, sf), axis=(1, 2))
+        use_fused = self.attn_impl == "fused" or (
+            self.attn_impl == "auto"
+            and pwa.supports(self.num_heads, d // self.num_heads, l)
+        )
+        if use_fused:
+            # dense-masked fused path: tokens stay in grid order — the
+            # roll/partition/reverse become part of the static template
+            h = attn(
+                x, deterministic=deterministic,
+                dense_geometry=(self.feat_size, self.shift, mask),
+            )
+        else:
+            h = x.reshape(b, t, f, d)
+            if st or sf:
+                h = jnp.roll(h, shift=(-st, -sf), axis=(1, 2))
+            # window partition
+            h = h.reshape(b, t // wh, wh, f // ww, ww, d)
+            h = h.transpose(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww, d)
+            h = attn(
+                h, None if mask is None else jnp.asarray(mask),
+                deterministic=deterministic,
+            )
+            # reverse
+            h = h.reshape(b, t // wh, f // ww, wh, ww, d)
+            h = h.transpose(0, 1, 3, 2, 4, 5).reshape(b, t, f, d)
+            if st or sf:
+                h = jnp.roll(h, shift=(st, sf), axis=(1, 2))
         x = x + nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(
             h.reshape(b, l, d)
         )
@@ -323,6 +381,7 @@ class MaskedAutoencoderViT(nn.Module):
                     window=cfg.window_size,
                     shift=(0, 0) if i % 2 == 0 else (2, 0),
                     mlp_ratio=cfg.mlp_ratio,
+                    attn_impl=cfg.window_attention_impl,
                     dtype=cdtype,
                     name=f"decoder_blocks_{i}",
                 )

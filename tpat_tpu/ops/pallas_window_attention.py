@@ -1,0 +1,373 @@
+"""Fused swin_v2_cr window attention (Pallas) for the MAE decoder.
+
+Motivation (profiled on the target chip, MAE pretrain b32 512x128 bf16,
+scripts/bench_mae_step.py): the XLA lowering of the 16-block shifted-window
+decoder costs ~45 ms/step of window machinery — roll/partition/reverse
+copies, per-head split/merge permutes, and tiny (16, 16, 32) attention
+einsums that strand the 128-wide MXU/VPU — against ~2 ms of attention math.
+A first kernel that kept the window granularity (one (16, 32) dot per
+window per head) removed the copies but ran even slower: 64 unrolled
+16-token ops per grid instance cannot feed 128-wide hardware.
+
+The shipped design instead evaluates window attention as **dense masked
+attention over the whole token grid**: every window-partition detail —
+the (4, 4) tiling, the alternating shift roll, the cross-region -100
+mask, and the log-CPB relative-position bias — collapses into one static
+per-head additive template
+
+    template[h, i, j] = bias[h, p_i, p_j] + region_mask[w_i, p_i, p_j]
+                        if w_i == w_j else -1e30
+
+built at trace time from the (rolled) window membership of each token
+(``build_window_template``).  Tokens stay in ORIGINAL grid order end to
+end (no rolls or partitions anywhere), the per-head Q.K^T becomes one
+MXU-shaped (N, N, D) contraction, off-window probabilities underflow to
+exact zeros through exp(-1e30), and the probability matrices never leave
+VMEM.  The -1e30 vs timm's -100 distinction matters: -100 is the
+*cross-region* softener timm applies inside shifted windows (replicated
+via ``region_mask``), while cross-window pairs must be excluded outright.
+
+The kernel consumes the packed qkv Dense output (B, N, 3C) directly — no
+head split/merge permutes — and the custom VJP emits d(qkv) plus
+d(scales) and d(template) (accumulated across the sequential grid);
+XLA backpropagates d(template) through the gather onto the meta-MLP bias.
+
+Reference math: timm ``swin_transformer_v2_cr.WindowMultiHeadAttention`` /
+``SwinTransformerV2CrBlock`` — the classes the reference's decoder kwargs
+name at ``models_mae.py:93-106``; the XLA restatement in
+``models/mae.py::WindowAttentionV2`` remains the parity/fallback path
+(``MAEConfig.window_attention_impl='xla'``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_EPS = 1e-12  # F.normalize clamp floor
+_NEG = -1e30  # cross-window exclusion (exp underflows to exact 0 in f32)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fixed_bytes(n: int, hpb: int, n_tmpl_blocks: int) -> int:
+    """VMEM held regardless of batch group: the (hpb, n, n) f32 template
+    slab(s) — resident across the inner batch sweep, not double-buffered —
+    plus ~6 (n, n) f32 softmax/backward temporaries."""
+    return n_tmpl_blocks * hpb * n * n * 4 + 6 * n * n * 4
+
+
+def _batch_group(
+    b: int, n: int, hpb: int, itemsize: int, n_io: int, n_tmpl: int,
+    cap: int = 8,
+) -> int:
+    """Largest divisor of b whose double-buffered (g, n, 128) io blocks fit
+    beside the fixed-resident slabs, within a ~13 MB budget."""
+    budget = 13 * 1024 * 1024 - _fixed_bytes(n, hpb, n_tmpl)
+    for g in range(min(cap, b), 0, -1):
+        if b % g != 0:
+            continue
+        if n_io * g * n * LANES * itemsize * 2 <= budget:
+            return g
+    return 1
+
+
+def supports(num_heads: int, head_dim: int, tokens: int) -> bool:
+    """Packed-layout + VMEM feasibility for the dense-masked formulation.
+
+    The backward is the binding case: 7 io blocks plus TWO template-sized
+    slabs (input template + the d(template) accumulator).  The reference
+    decoder at ESC-50 geometry (16 heads x 32, N=256) fits; the AudioSet
+    grid (N=512) does not with 4 heads per lane block — that geometry
+    takes the XLA path."""
+    if LANES % head_dim != 0 or (num_heads * head_dim) % LANES != 0:
+        return False
+    hpb = LANES // head_dim
+    budget = 13 * 1024 * 1024 - _fixed_bytes(tokens, hpb, n_tmpl_blocks=2)
+    return budget >= 7 * tokens * LANES * 2 * 2
+
+
+def build_window_template(
+    bias: jnp.ndarray,
+    feat_size: Tuple[int, int],
+    window: Tuple[int, int],
+    shift: Tuple[int, int],
+    region_mask: Optional[np.ndarray],
+) -> jnp.ndarray:
+    """(H, N, N) additive attention template in ORIGINAL token order.
+
+    bias: (H, L, L) traced meta-MLP relative-position bias (L = window
+    tokens); everything else is static.  Gradient flows through the
+    bias gather (scatter-add on the backward pass).
+    """
+    t, f = feat_size
+    wh, ww = window
+    st, sf = shift
+    n = t * f
+    tt, ff = np.meshgrid(np.arange(t), np.arange(f), indexing="ij")
+    # rolled coordinates: roll(x, (-st, -sf)) puts token (t, f) at
+    # (t - st mod T, f - sf mod F)
+    a = (tt - st) % t
+    b = (ff - sf) % f
+    win = (a // wh) * (f // ww) + b // ww  # window id per token
+    pos = (a % wh) * ww + b % ww  # within-window position
+    win = win.reshape(n)
+    pos = pos.reshape(n)
+    allowed = win[:, None] == win[None, :]
+    if region_mask is not None:
+        rm = region_mask[win[:, None], pos[:, None], pos[None, :]]
+    else:
+        rm = np.zeros((n, n), np.float32)
+    rm = np.where(allowed, rm, _NEG).astype(np.float32)
+    gathered = bias[:, pos[:, None], pos[None, :]]  # (H, N, N)
+    return gathered + jnp.asarray(rm)[None]
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, scale_ref, tmpl_ref, o_ref,
+    *, head_dim, heads_per_block, group,
+):
+    j = pl.program_id(0)  # lane-block index (heads j*hpb .. (j+1)*hpb)
+    for b in range(group):
+        for hh in range(heads_per_block):
+            sl = slice(hh * head_dim, (hh + 1) * head_dim)
+            q = q_ref[b, :, sl].astype(jnp.float32)
+            k = k_ref[b, :, sl].astype(jnp.float32)
+            v = v_ref[b, :, sl]
+            qn = q * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(q * q, -1, keepdims=True), _EPS * _EPS)
+            )
+            kn = k * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(k * k, -1, keepdims=True), _EPS * _EPS)
+            )
+            cos = jax.lax.dot_general(
+                qn, kn,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = cos * scale_ref[j * heads_per_block + hh] + tmpl_ref[hh]
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[b, :, sl] = jnp.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, scale_ref, tmpl_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, dscale_ref, dtmpl_ref,
+    *, head_dim, heads_per_block, group,
+):
+    """Recompute probabilities in VMEM; d(scale)/d(template) accumulate
+    across the sequential batch grid dim (innermost), so their blocks
+    stay VMEM-resident for the whole sweep."""
+    i = pl.program_id(1)  # batch-group index (accumulation dim)
+    j = pl.program_id(0)
+    n = q_ref.shape[1]
+    for hh in range(heads_per_block):
+        sl = slice(hh * head_dim, (hh + 1) * head_dim)
+        ds_acc = jnp.zeros((), jnp.float32)
+        db_acc = jnp.zeros((n, n), jnp.float32)
+        for b in range(group):
+            q = q_ref[b, :, sl].astype(jnp.float32)
+            k = k_ref[b, :, sl].astype(jnp.float32)
+            v = v_ref[b, :, sl]
+            do = do_ref[b, :, sl]
+
+            qs = jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(q * q, -1, keepdims=True), _EPS * _EPS)
+            )
+            ks = jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(k * k, -1, keepdims=True), _EPS * _EPS)
+            )
+            qn = q * qs
+            kn = k * ks
+            cos = jax.lax.dot_general(
+                qn, kn,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = scale_ref[j * heads_per_block + hh]
+            logits = cos * s + tmpl_ref[hh]
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+            dp = jax.lax.dot_general(
+                do, v,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dlog = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds_acc = ds_acc + jnp.sum(dlog * cos)
+            db_acc = db_acc + dlog
+            dcos = dlog * s
+            dqn = jnp.dot(dcos, kn, preferred_element_type=jnp.float32)
+            dkn = jax.lax.dot_general(
+                dcos, qn,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # F.normalize VJP (|x| > eps branch): (g - x̂ <x̂, g>) / |x|
+            dq = (dqn - qn * jnp.sum(dqn * qn, -1, keepdims=True)) * qs
+            dk = (dkn - kn * jnp.sum(dkn * kn, -1, keepdims=True)) * ks
+            dq_ref[b, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[b, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[b, :, sl] = jax.lax.dot_general(
+                p.astype(do.dtype), do,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dv_ref.dtype)
+
+        # accumulate over the batch sweep; scalar partials ride an n-lane
+        # row (sub-lane blocks are not legal tiles)
+        ds_row = jnp.full((1, n), ds_acc, jnp.float32)
+
+        @pl.when(i == 0)
+        def _():
+            dscale_ref[hh] = ds_row
+            dtmpl_ref[hh] = db_acc
+
+        @pl.when(i != 0)
+        def _():
+            dscale_ref[hh] = dscale_ref[hh] + ds_row
+            dtmpl_ref[hh] = dtmpl_ref[hh] + db_acc
+
+
+def _io_specs(g, n, hb, hpb):
+    def sec(section):
+        return pl.BlockSpec(
+            (g, n, LANES),
+            lambda j, i, s=section: (i, 0, s * hb + j),
+            memory_space=pltpu.VMEM,
+        )
+
+    return [
+        sec(0), sec(1), sec(2),
+        # all per-head scales as SMEM scalars (indexed by program_id(0))
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        # per-head template slab for this lane block
+        pl.BlockSpec(
+            (hpb, n, n), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+
+
+def _fused_impl(qkv, scales, template):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    h = scales.shape[0]
+    d = c // h
+    assert supports(h, d, n), (h, d, n)
+    hpb = LANES // d
+    hb = c // LANES
+    g = _batch_group(b, n, hpb, qkv.dtype.itemsize, n_io=4, n_tmpl=1)
+
+    kernel = functools.partial(
+        _fwd_kernel, head_dim=d, heads_per_block=hpb, group=g
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(hb, b // g),
+        in_specs=_io_specs(g, n, hb, hpb),
+        out_specs=pl.BlockSpec(
+            (g, n, LANES), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * n * n * d,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * h * n * n,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv, scales, template)
+    return out
+
+
+def _fused_bwd_impl(qkv, scales, template, d_out):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    h = scales.shape[0]
+    d = c // h
+    hpb = LANES // d
+    hb = c // LANES
+    g = _batch_group(b, n, hpb, qkv.dtype.itemsize, n_io=7, n_tmpl=2)
+
+    kernel = functools.partial(
+        _bwd_kernel, head_dim=d, heads_per_block=hpb, group=g
+    )
+    io_spec = pl.BlockSpec(
+        (g, n, LANES), lambda j, i: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv, dscale_rows, d_template = pl.pallas_call(
+        kernel,
+        # batch innermost: the d(scale)/d(template) accumulator blocks
+        # (indexed by j only) stay resident across the whole batch sweep
+        grid=(hb, b // g),
+        in_specs=_io_specs(g, n, hb, hpb) + [io_spec],
+        out_specs=[
+            io_spec, io_spec, io_spec,
+            pl.BlockSpec(
+                (hpb, 1, n), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (hpb, n, n), lambda j, i: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+            jax.ShapeDtypeStruct((h, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((h, n, n), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * h * n * n * d,
+            bytes_accessed=2 * qkv.size * qkv.dtype.itemsize,
+            transcendentals=b * h * n * n,
+        ),
+        interpret=_interpret(),
+    )(qkv, qkv, qkv, scales, template, d_out)
+    d_qkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    return d_qkv, dscale_rows[:, 0, 0], d_template
+
+
+@jax.custom_vjp
+def fused_window_attention(
+    qkv: jnp.ndarray,
+    scales: jnp.ndarray,
+    template: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fused cosine window attention, dense-masked formulation.
+
+    qkv:      (B, N, 3C) — packed qkv Dense output over the FULL token
+              grid in original order, sections [q | k | v], heads
+              contiguous (C = H * D)
+    scales:   (H,) f32 — exp(clamped logit_scale), computed in XLA
+    template: (H, N, N) f32 — ``build_window_template`` output: bias +
+              region mask on within-window pairs, -1e30 elsewhere
+    Returns (B, N, C) in original token order.
+    """
+    return _fused_impl(qkv, scales, template)
+
+
+def _vjp_fwd(qkv, scales, template):
+    return _fused_impl(qkv, scales, template), (qkv, scales, template)
+
+
+def _vjp_bwd(residuals, d_out):
+    qkv, scales, template = residuals
+    return _fused_bwd_impl(qkv, scales, template, d_out)
+
+
+fused_window_attention.defvjp(_vjp_fwd, _vjp_bwd)
