@@ -122,13 +122,14 @@ def measure_pretrain_step() -> float:
     """MAE pretrain step time (ms): ViT-B encoder + swin_v2_cr decoder
     (fused dense-masked window-attention kernel), mask ratio 0.8, ESC-50
     geometry, b32, bf16, donated AdamW step — the configuration
-    docs/BENCH_NOTES.md "MAE pretrain step" tracks."""
-    import functools
-
+    docs/BENCH_NOTES.md "MAE pretrain step" tracks.  The optimizer and
+    step come from ``engine/pretrain.py`` — the same construction
+    ``cli/pretrain.py`` runs — so this benchmark cannot drift from the
+    real driver's step."""
     import jax
     import jax.numpy as jnp
-    import optax
 
+    from tpat_tpu.engine import pretrain as pretrain_lib
     from tpat_tpu.models.mae import MaskedAutoencoderViT, mae_vit_base_dec512d8b
 
     batch, iters = 32, 20
@@ -142,35 +143,12 @@ def measure_pretrain_step() -> float:
         {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
         x0, 0.8,
     )["params"]
-
-    def decay_mask_fn(path, p):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        return p.ndim > 1 and name not in ("pos_embed", "decoder_pos_embed")
-
-    tx = optax.chain(
-        optax.scale_by_adam(b1=0.9, b2=0.95),
-        optax.add_decayed_weights(
-            1e-4,
-            mask=jax.tree_util.tree_map_with_path(decay_mask_fn, params),
-        ),
-        optax.scale_by_schedule(lambda s: -1e-4),
+    tx = pretrain_lib.make_mae_optimizer(
+        params, lr_fn=lambda s: 1e-4, weight_decay=1e-4,
+        pos_trainable=cfg.pos_trainable,
     )
     opt_state = tx.init(params)
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, opt_state, loss_sum, rng, step, x):
-        def loss_fn(p):
-            r = jax.random.fold_in(rng, step)
-            r_mask, r_drop = jax.random.split(r)
-            loss, _, _ = model.apply(
-                {"params": p}, x, 0.8, deterministic=False,
-                rngs={"masking": r_mask, "dropout": r_drop},
-            )
-            return loss
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state2, loss_sum + loss
+    train_step = pretrain_lib.make_mae_train_step(model, tx, 0.8)
 
     gen = jax.jit(
         lambda k: jax.random.normal(k, (batch, 1, TARGET_LENGTH, 128), jnp.float32)

@@ -6,6 +6,10 @@ mask_ratio 0.8) at ESC-50 geometry (512x128 -> grid (32,8), 256 patches)
 batch 32.
 
 Usage: python scripts/bench_mae_step.py [swin|plain|both] [--profile]
+           [--tl N] [--batch N]
+
+--tl 1024 selects the AudioSet geometry (grid (64,8), 512 decoder
+tokens); default 512 is ESC-50.
 """
 
 import glob
@@ -21,7 +25,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from tpat_tpu.models.mae import MAEConfig, MaskedAutoencoderViT, mae_vit_base_dec512d8b
 
@@ -29,6 +32,11 @@ BATCH = 32
 TL = 512
 MASK_RATIO = 0.8
 ITERS = 20
+
+if "--tl" in sys.argv:
+    TL = int(sys.argv[sys.argv.index("--tl") + 1])
+if "--batch" in sys.argv:
+    BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
 
 
 def build(decoder_mode: int, window_impl: str = "auto"):
@@ -43,36 +51,15 @@ def build(decoder_mode: int, window_impl: str = "auto"):
         x0, MASK_RATIO,
     )["params"]
 
-    def decay_mask_fn(path, p):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        return p.ndim > 1 and name not in ("pos_embed", "decoder_pos_embed")
+    # the exact optimizer + step construction cli/pretrain.py runs
+    from tpat_tpu.engine import pretrain as pretrain_lib
 
-    tx = optax.chain(
-        optax.scale_by_adam(b1=0.9, b2=0.95),
-        optax.add_decayed_weights(
-            1e-4, mask=jax.tree_util.tree_map_with_path(decay_mask_fn, params)
-        ),
-        optax.scale_by_schedule(lambda s: -1e-4),
+    tx = pretrain_lib.make_mae_optimizer(
+        params, lr_fn=lambda s: 1e-4, weight_decay=1e-4,
+        pos_trainable=cfg.pos_trainable,
     )
     opt_state = tx.init(params)
-
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, opt_state, loss_sum, rng, step, x):
-        def loss_fn(p):
-            r = jax.random.fold_in(rng, step)
-            r_mask, r_drop = jax.random.split(r)
-            loss, _, _ = model.apply(
-                {"params": p}, x, MASK_RATIO, deterministic=False,
-                rngs={"masking": r_mask, "dropout": r_drop},
-            )
-            return loss
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state2, loss_sum + loss
-
+    train_step = pretrain_lib.make_mae_train_step(model, tx, MASK_RATIO)
     return params, opt_state, train_step
 
 
@@ -149,6 +136,8 @@ def main():
     variants = {
         "swin": [(1, "auto")],
         "swin_xla": [(1, "xla")],
+        "swin_fused": [(1, "fused")],
+        "swin_banded": [(1, "banded")],
         "plain": [(0, "auto")],
         "both": [(1, "auto"), (0, "auto")],
         "all": [(1, "auto"), (1, "xla"), (0, "auto")],

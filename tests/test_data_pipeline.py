@@ -330,14 +330,19 @@ def test_mixup_uses_first_files_sample_rate(corpus, monkeypatch):
         return wav, 16000 if len(orig_paths) == 1 else 8000
 
     seen_srs = []
-    real_fbank = ds_mod.fb.fbank_numpy
 
-    def spy_fbank(wave, fcfg):
-        seen_srs.append(fcfg.sample_rate)
-        return real_fbank(wave, fcfg)
+    # spy at the backend-agnostic seam: _host_fbank dispatches to numpy
+    # or the native C++ kernel by core count, so patching fbank_numpy
+    # would silently miss on multi-core hosts with the .so built
+    def spy_fbank(wave, sr, num_mel_bins):
+        seen_srs.append(sr)
+        return ds_mod.fb.fbank_numpy(
+            wave, ds_mod.fb.FbankConfig(sample_rate=sr,
+                                        num_mel_bins=num_mel_bins)
+        )
 
     monkeypatch.setattr(ds_mod, "load_wav", fake_load)
-    monkeypatch.setattr(ds_mod.fb, "fbank_numpy", spy_fbank)
+    monkeypatch.setattr(ds_mod, "_host_fbank", spy_fbank)
     ds[0]
     assert len(orig_paths) == 2  # mixup loaded a partner
     assert seen_srs == [16000]  # fbank ran once, at file 1's rate

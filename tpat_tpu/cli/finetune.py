@@ -556,6 +556,14 @@ def main(args):
         )
         args.start_epoch = restored["epoch"] + 1
         print(f"resumed from {args.resume} at epoch {args.start_epoch}")
+    if args.profile_dir and not (
+        args.start_epoch <= args.profile_epoch < args.epochs
+    ):
+        raise SystemExit(
+            f"--profile_dir set but --profile_epoch {args.profile_epoch} is "
+            f"outside the training range [{args.start_epoch}, {args.epochs})"
+            " — no trace would ever be written"
+        )
     scratch = args.ramdisk_dir or str(out / "scratch")
     keeper = BestCheckpointKeeper(scratch, str(out))
     metric = "mAP" if args.dataset == "audioset" else "acc1"

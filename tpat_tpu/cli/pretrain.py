@@ -64,11 +64,11 @@ def get_args_parser():
 def main(args):
     import jax
     import jax.numpy as jnp
-    import optax
 
     from tpat_tpu import config as cfg_lib
     from tpat_tpu.data.datasets import AudiosetDataset
     from tpat_tpu.data.loader import DataLoader
+    from tpat_tpu.engine import pretrain as pretrain_lib
     from tpat_tpu.engine import schedules
     from tpat_tpu.models.mae import MAEConfig, MaskedAutoencoderViT, mae_vit_base_dec512d8b
     from tpat_tpu.parallel import mesh as mesh_lib
@@ -133,25 +133,9 @@ def main(args):
             warmup_epochs=args.warmup_epochs, total_epochs=args.epochs,
         )
 
-    def decay_mask_fn(path, p):
-        # ndim > 1 (MAE add_weight_decay semantics), minus the frozen
-        # sin-cos pos embeds (requires_grad=False params never join the
-        # torch param groups, models_mae.py:55,69): their gradient is
-        # stopped in the forward, so decaying them would silently drift
-        # the fixed tables.
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        frozen = (not cfg.pos_trainable) and name in (
-            "pos_embed", "decoder_pos_embed"
-        )
-        return p.ndim > 1 and not frozen
-
-    tx = optax.chain(
-        optax.scale_by_adam(b1=0.9, b2=0.95),
-        optax.add_decayed_weights(
-            args.weight_decay,
-            mask=jax.tree_util.tree_map_with_path(decay_mask_fn, params),
-        ),
-        optax.scale_by_schedule(lambda s: -lr_fn(s)),
+    tx = pretrain_lib.make_mae_optimizer(
+        params, lr_fn=lr_fn, weight_decay=args.weight_decay,
+        pos_trainable=cfg.pos_trainable,
     )
     opt_state = tx.init(params)
     rng = jax.random.PRNGKey(args.seed)
@@ -172,27 +156,7 @@ def main(args):
     rep = mesh_lib.replicated_sharding(mesh)
     params, opt_state = jax.device_put((params, opt_state), rep)
 
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, opt_state, loss_sum, rng, step, x):
-        def loss_fn(p):
-            r = jax.random.fold_in(rng, step)
-            r_mask, r_drop = jax.random.split(r)
-            loss, _, _ = model.apply(
-                {"params": p}, x, args.mask_ratio,
-                deterministic=False,  # swin decoder meta-MLP dropout 0.125
-                rngs={"masking": r_mask, "dropout": r_drop},
-            )
-            return loss
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        return (
-            optax.apply_updates(params, updates),
-            opt_state2,
-            loss_sum + loss,  # device-side accumulation: the host fetches
-        )  # once per epoch instead of blocking on every step
+    train_step = pretrain_lib.make_mae_train_step(model, tx, args.mask_ratio)
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)

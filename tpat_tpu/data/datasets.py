@@ -45,7 +45,14 @@ def _host_fbank(wav: np.ndarray, sr: int, num_mel_bins: int) -> np.ndarray:
     (tests/test_native_frontend.py); TPAT_DISABLE_NATIVE=1 forces numpy."""
     from tpat_tpu.data import native
 
-    if native.available() and (os.cpu_count() or 1) > 1:
+    try:
+        # affinity-aware: in a container/SLURM task pinned to one core of
+        # a many-core machine there is no parallelism for the GIL-free
+        # path to exploit, and single-threaded numpy wins
+        n_cores = len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        n_cores = os.cpu_count() or 1
+    if native.available() and n_cores > 1:
         return native.fbank(wav, sr, num_mel_bins)
     return fb.fbank_numpy(
         wav, fb.FbankConfig(sample_rate=sr, num_mel_bins=num_mel_bins)

@@ -68,10 +68,14 @@ class MAEConfig:
     mask_t_prob: float = 0.7
     mask_f_prob: float = 0.3
     compute_dtype: str = "float32"
-    # 'auto' uses the fused Pallas window-attention kernel when the
+    # 'auto' picks a fused Pallas window-attention kernel when the
     # geometry supports it (head_dim divides 128, dim % 128 == 0 —
-    # true for the reference decoder: 512 dim, 16 heads), else the XLA
-    # restatement; 'xla' forces the reference-shaped lowering.
+    # true for the reference decoder: 512 dim, 16 heads): the
+    # dense-masked kernel where its (H, N, N) template fits VMEM
+    # (ESC-50 grid, N=256), else the window-order block-diagonal
+    # 'banded' kernel whose template is (H, N, 128) (AudioSet grid,
+    # N=512); 'fused'/'banded' force those kernels, 'xla' forces the
+    # reference-shaped lowering.
     window_attention_impl: str = "auto"
     # models_mae.py:33,55,69 — the sin-cos pos embeds are nn.Parameters
     # with requires_grad=pos_trainable, default False: frozen throughout
@@ -235,12 +239,24 @@ class WindowAttentionV2(nn.Module):
         if dense_geometry is not None:
             from tpat_tpu.ops import pallas_window_attention as pwa
 
-            feat_size, shift, region_mask = dense_geometry
-            template = pwa.build_window_template(
-                bias.astype(jnp.float32), feat_size, self.window, shift,
-                region_mask,
-            )
-            out = pwa.fused_window_attention(qkv, scale, template)
+            feat_size, shift, region_mask, mode = dense_geometry
+            if mode == "banded":
+                # window-order block-diagonal: permute tokens to
+                # window-major order (static gather), run the banded
+                # kernel on the 128-token diagonal chunks, permute back
+                band, perm, inv_perm = pwa.build_band_template(
+                    bias.astype(jnp.float32), feat_size, self.window,
+                    shift, region_mask,
+                )
+                out = pwa.fused_window_attention_banded(
+                    qkv[:, perm], scale, band
+                )[:, inv_perm]
+            else:
+                template = pwa.build_window_template(
+                    bias.astype(jnp.float32), feat_size, self.window, shift,
+                    region_mask,
+                )
+                out = pwa.fused_window_attention(qkv, scale, template)
             return nn.Dense(c, name="proj", kernel_init=_xavier,
                             dtype=self.dtype)(out)
 
@@ -306,16 +322,29 @@ class SwinBlock(nn.Module):
         attn = WindowAttentionV2(
             d, self.num_heads, self.window, dtype=self.dtype, name="attn"
         )
-        use_fused = self.attn_impl == "fused" or (
-            self.attn_impl == "auto"
-            and pwa.supports(self.num_heads, d // self.num_heads, l)
-        )
-        if use_fused:
-            # dense-masked fused path: tokens stay in grid order — the
-            # roll/partition/reverse become part of the static template
+        itemsize = jnp.dtype(self.dtype).itemsize
+        d_head = d // self.num_heads
+        impl = self.attn_impl
+        if impl == "auto":
+            # dense-masked where the full template fits VMEM (the
+            # measured winner at the ESC-50 grid); the banded
+            # block-diagonal form covers larger grids (AudioSet N=512)
+            # the dense template cannot
+            if pwa.supports(self.num_heads, d_head, l, itemsize):
+                impl = "fused"
+            elif pwa.supports_banded(
+                self.num_heads, d_head, l, wh * ww, itemsize
+            ):
+                impl = "banded"
+            else:
+                impl = "xla"
+        if impl in ("fused", "banded"):
+            # fused paths: tokens stay in grid order at the module
+            # boundary — the roll/partition/reverse become part of the
+            # static template (and, for banded, a static permutation)
             h = attn(
                 x, deterministic=deterministic,
-                dense_geometry=(self.feat_size, self.shift, mask),
+                dense_geometry=(self.feat_size, self.shift, mask, impl),
             )
         else:
             h = x.reshape(b, t, f, d)
