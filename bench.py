@@ -118,14 +118,14 @@ def measure_train_step() -> float:
     return best
 
 
-def measure_pretrain_step() -> float:
+def measure_pretrain_step(target_length: int = TARGET_LENGTH) -> float:
     """MAE pretrain step time (ms): ViT-B encoder + swin_v2_cr decoder
-    (fused dense-masked window-attention kernel), mask ratio 0.8, ESC-50
-    geometry, b32, bf16, donated AdamW step — the configuration
-    docs/BENCH_NOTES.md "MAE pretrain step" tracks.  The optimizer and
-    step come from ``engine/pretrain.py`` — the same construction
-    ``cli/pretrain.py`` runs — so this benchmark cannot drift from the
-    real driver's step."""
+    (fused window-attention kernels: dense-masked at the ESC-50 grid,
+    banded block-diagonal at the AudioSet grid), mask ratio 0.8, b32,
+    bf16, donated AdamW step — the configurations docs/BENCH_NOTES.md
+    "MAE pretrain step" tracks.  The optimizer and step come from
+    ``engine/pretrain.py`` — the same construction ``cli/pretrain.py``
+    runs — so this benchmark cannot drift from the real driver's step."""
     import jax
     import jax.numpy as jnp
 
@@ -134,11 +134,11 @@ def measure_pretrain_step() -> float:
 
     batch, iters = 32, 20
     cfg = mae_vit_base_dec512d8b(
-        target_length=TARGET_LENGTH, num_mel_bins=128, decoder_mode=1,
+        target_length=target_length, num_mel_bins=128, decoder_mode=1,
         compute_dtype="bfloat16",
     )
     model = MaskedAutoencoderViT(cfg)
-    x0 = jnp.zeros((1, 1, TARGET_LENGTH, 128))
+    x0 = jnp.zeros((1, 1, target_length, 128))
     params = model.init(
         {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
         x0, 0.8,
@@ -151,7 +151,7 @@ def measure_pretrain_step() -> float:
     train_step = pretrain_lib.make_mae_train_step(model, tx, 0.8)
 
     gen = jax.jit(
-        lambda k: jax.random.normal(k, (batch, 1, TARGET_LENGTH, 128), jnp.float32)
+        lambda k: jax.random.normal(k, (batch, 1, target_length, 128), jnp.float32)
     )
     x = gen(jax.random.PRNGKey(2))
     float(jnp.sum(x))
@@ -294,6 +294,14 @@ def main():
     except Exception as e:
         print(f"pretrain-step measurement failed: {e}", file=sys.stderr)
         pretrain_ms = None
+    try:
+        # AudioSet geometry (1024x128, decoder N=512): the banded
+        # window kernel's territory
+        pretrain_as_ms = round(measure_pretrain_step(1024), 1)
+    except Exception as e:
+        print(f"audioset pretrain-step measurement failed: {e}",
+              file=sys.stderr)
+        pretrain_as_ms = None
     result = {
         "metric": "clips/sec/chip ViT-B keep0.7 ESC-50 eval (bf16, fused attention)",
         "value": round(value, 1),
@@ -307,6 +315,10 @@ def main():
         "mae_pretrain_step_ms_b32_bf16": pretrain_ms,
         "mae_pretrain_clips_per_sec": (
             round(32 / pretrain_ms * 1000, 1) if pretrain_ms else None
+        ),
+        "mae_pretrain_audioset_step_ms_b32_bf16": pretrain_as_ms,
+        "mae_pretrain_audioset_clips_per_sec": (
+            round(32 / pretrain_as_ms * 1000, 1) if pretrain_as_ms else None
         ),
     }
     print(json.dumps(result))

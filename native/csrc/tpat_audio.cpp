@@ -7,7 +7,7 @@
 // implementation in tpat_tpu/ops/fbank.py exactly:
 //
 //   frame (snip_edges, 25 ms / 10 ms) -> per-frame DC removal ->
-//   pre-emphasis 0.97 (left replicate) -> hanning window ->
+//   pre-emphasis 0.97 (left replicate) -> window (hanning or povey) ->
 //   zero-pad to next pow2 -> rFFT power spectrum ->
 //   Kaldi mel bank (1127 ln(1+f/700), low=20, high=nyquist, nyquist
 //   column zero) -> log(max(x, FLT_EPSILON)).
@@ -243,9 +243,12 @@ std::shared_ptr<const MelBank> get_mel_bank(int sr, int bins, int nfft) {
 extern "C" {
 
 // Kaldi-compatible fbank: waveform (n samples, mono float32) ->
-// out (num_frames x num_mel_bins, row-major).  Returns 0 on success.
+// out (num_frames x num_mel_bins, row-major).  window_type: 0 = hanning
+// (the reference recipes' choice), 1 = povey (Kaldi's default,
+// hanning^0.85).  Returns 0 on success, -1 on unknown window.
 int tpat_fbank(const float* waveform, int64_t n, int32_t sample_rate,
-               int32_t num_mel_bins, float* out, int64_t* out_frames) {
+               int32_t num_mel_bins, int32_t window_type, float* out,
+               int64_t* out_frames) {
   const int shift = sample_rate / 100;           // 10 ms
   const int win = sample_rate * 25 / 1000;       // 25 ms
   int nfft = 1;
@@ -259,9 +262,12 @@ int tpat_fbank(const float* waveform, int64_t n, int32_t sample_rate,
       get_mel_bank(sample_rate, num_mel_bins, nfft);
   const int num_bins_fft = nfft / 2 + 1;
 
+  if (window_type != 0 && window_type != 1) return -1;
   std::vector<double> window(win);
-  for (int i = 0; i < win; ++i)
-    window[i] = 0.5 - 0.5 * cos(2.0 * kPi * i / (win - 1));
+  for (int i = 0; i < win; ++i) {
+    const double hann = 0.5 - 0.5 * cos(2.0 * kPi * i / (win - 1));
+    window[i] = window_type == 1 ? pow(hann, 0.85) : hann;
+  }
 
   std::vector<double> re(nfft), im(nfft);
   std::vector<double> power(num_bins_fft);

@@ -38,6 +38,16 @@ def test_native_fbank_matches_numpy(wav_file):
     np.testing.assert_allclose(mel_c, mel_py, atol=2e-4)
 
 
+def test_native_fbank_povey_window(wav_file):
+    """Kaldi's default povey window (hanning^0.85) through the C ABI."""
+    w, sr = load_wav_python(wav_file)
+    mel_py = fb.fbank_numpy(w[0], fb.FbankConfig(window_type="povey"))
+    mel_c = native.fbank(w[0], sr, 128, window_type="povey")
+    np.testing.assert_allclose(mel_c, mel_py, atol=2e-4)
+    # and povey genuinely differs from hanning
+    assert np.abs(mel_c - native.fbank(w[0], sr, 128)).max() > 1e-3
+
+
 def test_native_stereo_decode(tmp_path):
     path = str(tmp_path / "st.wav")
     rng = np.random.default_rng(1)

@@ -252,6 +252,41 @@ def test_mae_model_fused_matches_xla(rng):
     )
 
 
+def test_mae_model_banded_matches_xla(rng):
+    """Full MAE model with the banded decoder kernel forced, at a grid
+    large enough to chunk (target_length 256 -> decoder grid (16,8) =
+    128 tokens): loss and reconstruction must match the XLA
+    restatement."""
+    common = dict(
+        embed_dim=96, depth=2, num_heads=3, decoder_embed_dim=128,
+        decoder_depth=2, decoder_num_heads=4, decoder_mode=1,
+        target_length=256, num_mel_bins=128, window_size=(4, 4),
+    )
+    cfg_x = MAEConfig(window_attention_impl="xla", **common)
+    cfg_b = MAEConfig(window_attention_impl="banded", **common)
+    t, f = cfg_b.grid
+    assert pwa.supports_banded(
+        cfg_b.decoder_num_heads,
+        cfg_b.decoder_embed_dim // cfg_b.decoder_num_heads,
+        t * f, 16,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 1, 256, 128)).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)}
+    m_x = MaskedAutoencoderViT(cfg_x)
+    m_b = MaskedAutoencoderViT(cfg_b)
+    params = m_x.init(rngs, x, 0.75)["params"]
+    loss_x, pred_x, _ = m_x.apply(
+        {"params": params}, x, 0.75, rng=jax.random.PRNGKey(7)
+    )
+    loss_b, pred_b, _ = m_b.apply(
+        {"params": params}, x, 0.75, rng=jax.random.PRNGKey(7)
+    )
+    np.testing.assert_allclose(float(loss_b), float(loss_x), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pred_b), np.asarray(pred_x), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_auto_falls_back_on_unsupported_geometry(rng):
     # head_dim 48 does not divide 128 -> 'auto' must take the XLA path
     blk = SwinBlock(

@@ -5,7 +5,10 @@ that does not exist in the repo (SURVEY.md §2 #6) — this driver completes
 the workflow: masked-autoencoder pretraining on spectrograms with the MAE
 recipe (AdamW betas (0.9, 0.95), lr = blr * eff_batch / 256, per-iteration
 warmup + cosine, bf16-ready), SPMD over the data mesh, orbax checkpoints
-whose encoder weights feed directly into the finetune driver.
+whose encoder weights feed directly into the finetune driver.  Multi-host:
+``init_distributed_mode`` + per-host ``EpochShardSampler`` shards, the
+same contract as ``cli/finetune.py`` (each host loads and feeds only its
+rows; rank 0 writes logs/checkpoints/exports).
 """
 
 from __future__ import annotations
@@ -68,7 +71,9 @@ def main(args):
     from tpat_tpu import config as cfg_lib
     from tpat_tpu.data.datasets import AudiosetDataset
     from tpat_tpu.data.loader import DataLoader
+    from tpat_tpu.data.sampler import EpochShardSampler
     from tpat_tpu.engine import pretrain as pretrain_lib
+    from tpat_tpu.parallel import distributed as dist_lib
     from tpat_tpu.engine import schedules
     from tpat_tpu.models.mae import MAEConfig, MaskedAutoencoderViT, mae_vit_base_dec512d8b
     from tpat_tpu.parallel import mesh as mesh_lib
@@ -86,9 +91,17 @@ def main(args):
         args.data_train, data_cfg, args.label_csv, train=True,
         roll_mag_aug=args.roll_mag_aug, seed=args.seed,
     )
+    # Multi-host: same contract as cli/finetune.py — each process loads
+    # only its sampler shard and feeds --batch_size local rows; the
+    # global batch (batch_size * world) is assembled by mesh.shard_batch.
+    rank, world = dist_lib.init_distributed_mode()
+    is_main = rank == 0
     loader = DataLoader(
-        ds, args.batch_size, shuffle=True, num_workers=args.num_workers,
-        drop_last=True, seed=args.seed,
+        ds, args.batch_size,
+        sampler=EpochShardSampler(
+            len(ds), shuffle=True, seed=args.seed, world=world, rank=rank,
+        ),
+        num_workers=args.num_workers, drop_last=True,
     )
 
     common = dict(
@@ -115,7 +128,10 @@ def main(args):
     model = MaskedAutoencoderViT(cfg)
 
     mesh = mesh_lib.make_mesh()
-    lr = args.lr if args.lr else args.blr * args.batch_size / 256.0
+    # blr scales by the GLOBAL effective batch (batch_size per host x
+    # world), the MAE lr convention the reference keeps for finetune
+    # (main_finetune.py:443-449 eff_batch_size)
+    lr = args.lr if args.lr else args.blr * args.batch_size * world / 256.0
 
     x0 = jnp.zeros((1, 1, cfg.target_length, cfg.num_mel_bins))
     params = model.init(
@@ -178,13 +194,19 @@ def main(args):
                 f"Non-finite loss in epoch {epoch}, stopping pretraining "
                 "(engine_finetune.py:108-110 semantics)"
             )
-        print(f"epoch {epoch}: loss={mean_loss:.4f} lr={float(lr_fn(step)):.2e}")
-        with open(out / "log.txt", "a") as f:
-            f.write(json.dumps({"epoch": epoch, "loss": mean_loss}) + "\n")
-        if (
-            args.save_every_epochs > 0
-            and (epoch + 1) % args.save_every_epochs == 0
-        ) or epoch == args.epochs - 1:
+        if is_main:
+            print(
+                f"epoch {epoch}: loss={mean_loss:.4f} "
+                f"lr={float(lr_fn(step)):.2e}"
+            )
+            with open(out / "log.txt", "a") as f:
+                f.write(json.dumps({"epoch": epoch, "loss": mean_loss}) + "\n")
+        if is_main and (
+            (
+                args.save_every_epochs > 0
+                and (epoch + 1) % args.save_every_epochs == 0
+            ) or epoch == args.epochs - 1
+        ):
             import types
 
             s = types.SimpleNamespace(
@@ -193,7 +215,7 @@ def main(args):
             ckpt_lib.save_checkpoint(
                 str(out / f"checkpoint-{epoch:03d}"), s, epoch
             )
-    if args.export_torch:
+    if args.export_torch and is_main:
         from tpat_tpu.utils.torch_export import save_pth
 
         save_pth(

@@ -51,6 +51,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,  # num samples
                 ctypes.c_int32,  # sample rate
                 ctypes.c_int32,  # num mel bins
+                ctypes.c_int32,  # window type (0 hanning, 1 povey)
                 ctypes.POINTER(ctypes.c_float),  # out (frames x bins)
                 ctypes.POINTER(ctypes.c_int64),  # out frames
             ]
@@ -88,7 +89,15 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
     return data.reshape(ch.value, n.value), sr.value
 
 
-def fbank(waveform: np.ndarray, sample_rate: int, num_mel_bins: int = 128) -> np.ndarray:
+_WINDOWS = {"hanning": 0, "povey": 1}
+
+
+def fbank(
+    waveform: np.ndarray,
+    sample_rate: int,
+    num_mel_bins: int = 128,
+    window_type: str = "hanning",
+) -> np.ndarray:
     lib = _load()
     assert lib is not None
     wav = np.ascontiguousarray(waveform.reshape(-1), dtype=np.float32)
@@ -100,6 +109,7 @@ def fbank(waveform: np.ndarray, sample_rate: int, num_mel_bins: int = 128) -> np
         len(wav),
         sample_rate,
         num_mel_bins,
+        _WINDOWS[window_type],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.byref(nframes),
     )

@@ -259,7 +259,7 @@ def fused_qkv_attention(
     [q | k | v], heads laid out contiguously inside each section.
     Returns (out (B, N, C), scores (B, N - extra) | None).
     """
-    out, colsum = _fused_qkv_impl(qkv, num_heads, mode, num_extra_tokens)
+    out, colsum = _impl_cp(num_heads, mode, num_extra_tokens, False)(qkv)
     return out, _reduce_scores(colsum, mode, qkv.shape[1], num_extra_tokens)
 
 
@@ -416,8 +416,76 @@ def _fused_qkv_bwd_impl(
     return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
+# --- GSPMD mesh support (ops/partitioning.py) ------------------------------
+# Mosaic kernels cannot be auto-partitioned by XLA; these wrappers give
+# each impl a batch-sharded custom_partitioning so multi-device
+# data-parallel jit lowers the kernel per-shard.  One wrapper per static
+# configuration (custom_partitioning objects are built once, cached).
+
+from tpat_tpu.ops import partitioning as _pt
+
+
+@_pt.cached_factory
+def _impl_cp(num_heads, mode, extra, prefix):
+    if prefix:
+        def fn(qkv, kv_valid):
+            return _fused_qkv_impl(qkv, num_heads, mode, extra, kv_valid)
+
+        return _pt.batch_partitioned(
+            fn, (True, False), 2, sharding_rule="b n c, s -> b n c, b h w"
+        )
+
+    def fn(qkv):
+        return _fused_qkv_impl(qkv, num_heads, mode, extra)
+
+    return _pt.batch_partitioned(
+        fn, (True,), 2, sharding_rule="b n c -> b n c, b h w"
+    )
+
+
+@_pt.cached_factory
+def _bwd_cp(num_heads, mode, extra, has_scores, prefix):
+    if prefix and has_scores:
+        def fn(qkv, d_out, d_scores, kv_valid):
+            return _fused_qkv_bwd_impl(
+                qkv, d_out, d_scores, num_heads, mode, extra, kv_valid
+            )
+
+        return _pt.batch_partitioned(
+            fn, (True, True, True, False), 1,
+            sharding_rule="b n c, b n d, b p, s -> b n c",
+        )
+    if prefix:
+        def fn(qkv, d_out, kv_valid):
+            return _fused_qkv_bwd_impl(
+                qkv, d_out, None, num_heads, mode, extra, kv_valid
+            )
+
+        return _pt.batch_partitioned(
+            fn, (True, True, False), 1,
+            sharding_rule="b n c, b n d, s -> b n c",
+        )
+    if has_scores:
+        def fn(qkv, d_out, d_scores):
+            return _fused_qkv_bwd_impl(
+                qkv, d_out, d_scores, num_heads, mode, extra
+            )
+
+        return _pt.batch_partitioned(
+            fn, (True, True, True), 1,
+            sharding_rule="b n c, b n d, b p -> b n c",
+        )
+
+    def fn(qkv, d_out):
+        return _fused_qkv_bwd_impl(qkv, d_out, None, num_heads, mode, extra)
+
+    return _pt.batch_partitioned(
+        fn, (True, True), 1, sharding_rule="b n c, b n d -> b n c"
+    )
+
+
 def _fwd(qkv, num_heads, mode, num_extra_tokens):
-    out, colsum = _fused_qkv_impl(qkv, num_heads, mode, num_extra_tokens)
+    out, colsum = _impl_cp(num_heads, mode, num_extra_tokens, False)(qkv)
     scores = _reduce_scores(colsum, mode, qkv.shape[1], num_extra_tokens)
     return (out, scores), (qkv,)
 
@@ -435,8 +503,10 @@ def _bwd(num_heads, mode, num_extra_tokens, residuals, cotangents):
     (qkv,) = residuals
     d_out, d_scores = cotangents
     if os.environ.get("TPAT_XLA_ATTENTION_BWD") != "1":
-        d_qkv = _fused_qkv_bwd_impl(
-            qkv, d_out, d_scores, num_heads, mode, num_extra_tokens
+        has_scores = d_scores is not None and mode is not None
+        cp = _bwd_cp(num_heads, mode, num_extra_tokens, has_scores, False)
+        d_qkv = (
+            cp(qkv, d_out, d_scores) if has_scores else cp(qkv, d_out)
         )
         return (d_qkv,)
     b, n, c3 = qkv.shape
@@ -499,8 +569,8 @@ def fused_qkv_attention_prefix(
 
     Returns (out (B, N, C), scores (B, N - extra) | None).
     """
-    out, colsum = _fused_qkv_impl(
-        qkv, num_heads, mode, num_extra_tokens, kv_valid
+    out, colsum = _impl_cp(num_heads, mode, num_extra_tokens, True)(
+        qkv, kv_valid.reshape(1)
     )
     return out, _reduce_scores(
         colsum, mode, qkv.shape[1], num_extra_tokens, kv_valid
@@ -508,8 +578,8 @@ def fused_qkv_attention_prefix(
 
 
 def _prefix_fwd(qkv, kv_valid, num_heads, mode, num_extra_tokens):
-    out, colsum = _fused_qkv_impl(
-        qkv, num_heads, mode, num_extra_tokens, kv_valid
+    out, colsum = _impl_cp(num_heads, mode, num_extra_tokens, True)(
+        qkv, kv_valid.reshape(1)
     )
     scores = _reduce_scores(
         colsum, mode, qkv.shape[1], num_extra_tokens, kv_valid
@@ -520,8 +590,11 @@ def _prefix_fwd(qkv, kv_valid, num_heads, mode, num_extra_tokens):
 def _prefix_bwd(num_heads, mode, num_extra_tokens, residuals, cotangents):
     qkv, kv_valid = residuals
     d_out, d_scores = cotangents
-    d_qkv = _fused_qkv_bwd_impl(
-        qkv, d_out, d_scores, num_heads, mode, num_extra_tokens, kv_valid
+    has_scores = d_scores is not None and mode is not None
+    cp = _bwd_cp(num_heads, mode, num_extra_tokens, has_scores, True)
+    kv1 = kv_valid.reshape(1)
+    d_qkv = (
+        cp(qkv, d_out, d_scores, kv1) if has_scores else cp(qkv, d_out, kv1)
     )
     return (d_qkv, None)
 

@@ -50,6 +50,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpat_tpu.ops import partitioning as _pt
+
 LANES = 128
 _EPS = 1e-12  # F.normalize clamp floor
 _NEG = -1e30  # cross-window exclusion (exp underflows to exact 0 in f32)
@@ -436,6 +438,16 @@ def _banded_bwd_impl(qkv, scales, band, d_out):
     return d_qkv, dscale_rows[:, 0, 0], d_band
 
 
+_banded_impl_cp = _pt.batch_partitioned(
+    _banded_impl, (True, False, False), 1,
+    sharding_rule="b n c, h, x y z -> b n c",
+)
+_banded_bwd_impl_cp = _pt.batch_partitioned(
+    _banded_bwd_impl, (True, False, False, True), 3, reduced_outs=(1, 2),
+    sharding_rule="b n c, h, x y z, b n d -> b n c, h, x y z",
+)
+
+
 @jax.custom_vjp
 def fused_window_attention_banded(
     qkv: jnp.ndarray,
@@ -452,16 +464,16 @@ def fused_window_attention_banded(
     Does ``N/BLK``-fold less logit work than ``fused_window_attention``
     and holds only (hpb, BLK, BLK) template per grid step, so it scales
     to the AudioSet grid (N=512) the dense template cannot fit."""
-    return _banded_impl(qkv, scales, band)
+    return _banded_impl_cp(qkv, scales, band)
 
 
 def _banded_vjp_fwd(qkv, scales, band):
-    return _banded_impl(qkv, scales, band), (qkv, scales, band)
+    return _banded_impl_cp(qkv, scales, band), (qkv, scales, band)
 
 
 def _banded_vjp_bwd(residuals, d_out):
     qkv, scales, band = residuals
-    return _banded_bwd_impl(qkv, scales, band, d_out)
+    return _banded_bwd_impl_cp(qkv, scales, band, d_out)
 
 
 fused_window_attention_banded.defvjp(_banded_vjp_fwd, _banded_vjp_bwd)
@@ -679,6 +691,19 @@ def _fused_bwd_impl(qkv, scales, template, d_out):
     return d_qkv, dscale_rows[:, 0, 0], d_template
 
 
+# GSPMD mesh support (ops/partitioning.py): batch-sharded per-shard
+# lowering; the backward's d(scale)/d(template) are batch SUMS and get
+# psum'd across the shards.
+_fused_impl_cp = _pt.batch_partitioned(
+    _fused_impl, (True, False, False), 1,
+    sharding_rule="b n c, h, x y z -> b n c",
+)
+_fused_bwd_impl_cp = _pt.batch_partitioned(
+    _fused_bwd_impl, (True, False, False, True), 3, reduced_outs=(1, 2),
+    sharding_rule="b n c, h, x y z, b n d -> b n c, h, x y z",
+)
+
+
 @jax.custom_vjp
 def fused_window_attention(
     qkv: jnp.ndarray,
@@ -695,16 +720,16 @@ def fused_window_attention(
               region mask on within-window pairs, -1e30 elsewhere
     Returns (B, N, C) in original token order.
     """
-    return _fused_impl(qkv, scales, template)
+    return _fused_impl_cp(qkv, scales, template)
 
 
 def _vjp_fwd(qkv, scales, template):
-    return _fused_impl(qkv, scales, template), (qkv, scales, template)
+    return _fused_impl_cp(qkv, scales, template), (qkv, scales, template)
 
 
 def _vjp_bwd(residuals, d_out):
     qkv, scales, template = residuals
-    return _fused_bwd_impl(qkv, scales, template, d_out)
+    return _fused_bwd_impl_cp(qkv, scales, template, d_out)
 
 
 fused_window_attention.defvjp(_vjp_fwd, _vjp_bwd)
