@@ -242,6 +242,11 @@ std::shared_ptr<const MelBank> get_mel_bank(int sr, int bins, int nfft) {
 
 extern "C" {
 
+// C ABI version.  Bump on ANY signature change (the python side refuses
+// to load a mismatched .so rather than corrupting argument registers).
+// v2: tpat_fbank gained the mid-signature window_type argument.
+int tpat_abi_version() { return 2; }
+
 // Kaldi-compatible fbank: waveform (n samples, mono float32) ->
 // out (num_frames x num_mel_bins, row-major).  window_type: 0 = hanning
 // (the reference recipes' choice), 1 = povey (Kaldi's default,

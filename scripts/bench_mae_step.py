@@ -131,7 +131,16 @@ def summarize_trace(trace_dir: str):
 
 
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    # positional mode = first arg that is neither a flag nor a flag value
+    flag_values = set()
+    for f in ("--tl", "--batch"):
+        if f in sys.argv:
+            flag_values.add(sys.argv.index(f) + 1)
+    positional = [
+        a for i, a in enumerate(sys.argv[1:], start=1)
+        if not a.startswith("--") and i not in flag_values
+    ]
+    which = positional[0] if positional else "both"
     profile = "--profile" in sys.argv
     variants = {
         "swin": [(1, "auto")],

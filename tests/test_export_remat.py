@@ -219,6 +219,43 @@ def test_serving_export_roundtrip(tmp_path):
     assert (tmp_path / "artifact" / "forward.jaxexport").exists()
 
 
+def test_serving_export_fused_path(tmp_path):
+    """Serving export of the FUSED attention path (the production
+    config): the custom_partitioning-wrapped Pallas kernel must
+    serialize through jax.export and reproduce the live logits.
+    (Also validated on the real TPU with the Mosaic lowering: ViT-B
+    keep-0.7 exported, reloaded and served — docs/BENCH_NOTES.md.)"""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpat_tpu.config import audiomae_vit_base
+    from tpat_tpu.models.vit import AudioViT
+    from tpat_tpu.utils import serving
+
+    cfg = audiomae_vit_base(
+        target_length=64, num_classes=5, base_keep_rate=0.6, drop_loc=(1,),
+        drop_path_rate=0.0,
+    )
+    cfg = dataclasses.replace(
+        cfg, embed_dim=128, depth=2, num_heads=4, num_mel_bins=32,
+        attention_impl="fused",
+    )
+    model = AudioViT(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 1, 64, 32)).astype(np.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x))[
+        "params"
+    ]
+    want = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    out = serving.export_forward(
+        model, params, (4, 1, 64, 32), str(tmp_path / "artifact")
+    )
+    fn, _meta = serving.load_forward(out)
+    np.testing.assert_allclose(np.asarray(fn(x)), want, rtol=1e-5, atol=1e-6)
+
+
 def test_export_serving_cli(tmp_path):
     """The export CLI end-to-end: orbax checkpoint in, loadable serving
     artifact out, logits identical to the live model."""

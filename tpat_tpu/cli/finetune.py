@@ -559,11 +559,21 @@ def main(args):
     if args.profile_dir and not (
         args.start_epoch <= args.profile_epoch < args.epochs
     ):
-        raise SystemExit(
-            f"--profile_dir set but --profile_epoch {args.profile_epoch} is "
-            f"outside the training range [{args.start_epoch}, {args.epochs})"
-            " — no trace would ever be written"
-        )
+        if args.resume and args.profile_epoch < args.epochs:
+            # crash-resume past the profile epoch: the trace was (or could
+            # have been) collected on the earlier run — warn, don't abort
+            print(
+                f"note: resuming at epoch {args.start_epoch}, past "
+                f"--profile_epoch {args.profile_epoch}; no new trace will "
+                "be written this run"
+            )
+        else:
+            raise SystemExit(
+                f"--profile_dir set but --profile_epoch "
+                f"{args.profile_epoch} is outside the training range "
+                f"[{args.start_epoch}, {args.epochs}) — no trace would "
+                "ever be written"
+            )
     scratch = args.ramdisk_dir or str(out / "scratch")
     keeper = BestCheckpointKeeper(scratch, str(out))
     metric = "mAP" if args.dataset == "audioset" else "acc1"

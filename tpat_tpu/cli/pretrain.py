@@ -96,6 +96,11 @@ def main(args):
     # global batch (batch_size * world) is assembled by mesh.shard_batch.
     rank, world = dist_lib.init_distributed_mode()
     is_main = rank == 0
+    if world > 1:
+        assert args.batch_size % jax.local_device_count() == 0, (
+            f"per-host batch {args.batch_size} must divide the local "
+            f"device count {jax.local_device_count()}"
+        )
     loader = DataLoader(
         ds, args.batch_size,
         sampler=EpochShardSampler(

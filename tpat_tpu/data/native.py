@@ -15,6 +15,8 @@ import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+# must match tpat_abi_version() in native/csrc/tpat_audio.cpp
+_ABI_VERSION = 2
 
 _LIB_PATHS = [
     os.path.join(os.path.dirname(__file__), "..", "..", "native", "libtpat_audio.so"),
@@ -35,6 +37,23 @@ def _load() -> Optional[ctypes.CDLL]:
             try:
                 lib = ctypes.CDLL(p)
             except OSError:
+                continue
+            # ABI guard: calling a stale .so with a changed signature
+            # would pass ints where it expects pointers (segfault inside
+            # the data loader) — refuse anything but an exact version
+            # match and fall back to the numpy path.
+            try:
+                ver = int(lib.tpat_abi_version())
+            except AttributeError:
+                ver = 1
+            if ver != _ABI_VERSION:
+                import warnings
+
+                warnings.warn(
+                    f"{p} has native ABI v{ver}, this build needs "
+                    f"v{_ABI_VERSION}; rebuild with `make -C native` "
+                    "(falling back to the numpy frontend)"
+                )
                 continue
             lib.tpat_load_wav.restype = ctypes.c_int
             lib.tpat_load_wav.argtypes = [

@@ -221,7 +221,9 @@ class WindowAttentionV2(nn.Module):
         # partitioned call: x (num_windows*B, tokens, dim),
         #   mask (num_windows, tokens, tokens)
         # dense call:       x (B, T*F, dim), mask unused,
-        #   dense_geometry = (feat_size, shift, region_mask|None)
+        #   dense_geometry = (feat_size, shift, region_mask|None, mode)
+        #   with mode 'fused' (dense-masked kernel) or 'banded'
+        #   (window-order block-diagonal kernel)
         b, n, c = x.shape
         h = self.num_heads
         wh, ww = self.window
