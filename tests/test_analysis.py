@@ -334,11 +334,19 @@ def test_average_csv_results(tmp_path):
     assert len(outs) == 1
 
 
-def test_create_voxceleb_csv(tmp_path):
-    from tpat_tpu.data.create_voxceleb1_csv import write_voxceleb1_csv
+def test_voxceleb_csv_generator(tmp_path):
+    """util/create_voxceleb1_csv.py parity: exact row format, including the
+    reference's 1252-row quirk (range(1252) for 1251 speakers)."""
+    from tpat_tpu.cli.create_voxceleb1_csv import create_csv
     from tpat_tpu.data.datasets import make_index_dict
 
-    path = write_voxceleb1_csv(str(tmp_path / "vox.csv"), num_speakers=5)
+    path = create_csv(str(tmp_path / "voxceleb1_label.csv"))
+    with open(path, encoding="utf-8") as f:
+        lines = f.read().splitlines()
+    assert lines[0] == "index,mid,display_name"
+    assert len(lines) == 1 + 1252  # header + the reference's 0..1251 rows
+    assert lines[1] == '0,/m/vc0001,"sid-0001"'
+    assert lines[-1] == '1251,/m/vc1252,"sid-1252"'
     idx = make_index_dict(path)
-    assert len(idx) == 6  # ids 0..5 inclusive, like the reference's 1252
-    assert idx["/m/spk00003"] == 3
+    assert len(idx) == 1252
+    assert idx["/m/vc0003"] == 2
