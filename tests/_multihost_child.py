@@ -64,6 +64,15 @@ def main():
     )
     state = mod.init(np.zeros((1, 1, 64, 32), np.float32), seed=11)
 
+    from tpat_tpu.utils import checkpoint as ckpt_lib
+
+    def _checksum(tree):
+        return float(
+            sum(np.abs(np.asarray(l)).sum() for l in jax.tree_util.tree_leaves(tree))
+        )
+
+    ckpt_path = os.path.join(args.out, "mid_ckpt")
+    ckpt_checksum_at_save = None
     losses = []
     for epoch in range(3):
         sampler.set_epoch(epoch)
@@ -74,6 +83,13 @@ def main():
         ]
         state, stats = mod.train_epoch(state, batches, epoch)
         losses.append(stats["loss"])
+        if epoch == 1 and rank == 0:
+            # the reference's rank-0-only save pattern (save_on_master,
+            # util/misc.py:297-312): rank 1 proceeds straight into the
+            # next epoch's collectives — a globally-collective orbax save
+            # would deadlock here (utils/checkpoint.py::_checkpointer)
+            ckpt_lib.save_checkpoint(ckpt_path, state, epoch)
+            ckpt_checksum_at_save = _checksum(state.params)
 
     # dist-eval: unpadded per-host shards + cross-process gather
     eidx = eval_shard(n, world, rank)
@@ -92,7 +108,18 @@ def main():
         allgather=True,
     )
 
-    out = {"losses": losses, "acc1": stats["acc1"], "rank": rank}
+    # both ranks restore the rank-0-written checkpoint (resume is called
+    # by every process) and must see the identical payload
+    restored = ckpt_lib.restore_checkpoint(ckpt_path)
+    assert restored["epoch"] == 1, restored["epoch"]
+
+    out = {
+        "losses": losses,
+        "acc1": stats["acc1"],
+        "rank": rank,
+        "ckpt_checksum_at_save": ckpt_checksum_at_save,
+        "ckpt_checksum_restored": _checksum(restored["params"]),
+    }
     with open(os.path.join(args.out, f"rank{rank}.json"), "w") as f:
         json.dump(out, f)
     print("CHILD_OK", rank)

@@ -89,6 +89,13 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     np.testing.assert_allclose(child[0]["losses"], child[1]["losses"], rtol=0)
     assert child[0]["acc1"] == child[1]["acc1"]
 
+    # the rank-0-only mid-training save must not deadlock (orbax barriers
+    # restricted to the saving process) and must round-trip bit-exactly
+    # through both ranks' restore
+    assert child[0]["ckpt_checksum_at_save"] is not None
+    assert child[0]["ckpt_checksum_restored"] == child[0]["ckpt_checksum_at_save"]
+    assert child[1]["ckpt_checksum_restored"] == child[0]["ckpt_checksum_at_save"]
+
     # ---- single-process baseline over the SAME global batches ----------
     from tpat_tpu.config import TrainConfig, ViTConfig
     from tpat_tpu.data.sampler import EpochShardSampler

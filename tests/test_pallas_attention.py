@@ -62,6 +62,38 @@ def test_fused_gradients_match_xla(rng):
                                    rtol=2e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("mode,extra", [("patch_mean", 1), ("cls", 2), (None, 1)])
+def test_prefix_bwd_escape_hatch_matches_kernel(rng, monkeypatch, mode, extra):
+    """TPAT_XLA_ATTENTION_BWD=1 must cover the hybrid anneal's prefix
+    kernel too (it is the training default) — the XLA escape-hatch
+    backward and the fused Pallas backward must agree."""
+    from tpat_tpu.ops.pallas_attention import fused_qkv_attention_prefix
+
+    b, h, n, d = 2, 2, 16, 64
+    kept = 9  # valid patch prefix
+    qkv_packed = jnp.asarray(
+        rng.normal(size=(b, n, 3 * h * d)).astype(np.float32)
+    )
+    kv_valid = jnp.asarray(extra + kept)
+
+    def loss(qkv_):
+        out, scores = fused_qkv_attention_prefix(
+            qkv_, kv_valid, h, mode, extra
+        )
+        l = jnp.sum(out[:, : extra + kept].astype(jnp.float32) ** 2)
+        if scores is not None:
+            l = l + jnp.sum(scores[:, :kept] ** 2)
+        return l
+
+    monkeypatch.delenv("TPAT_XLA_ATTENTION_BWD", raising=False)
+    g_kernel = jax.grad(loss)(qkv_packed)
+    monkeypatch.setenv("TPAT_XLA_ATTENTION_BWD", "1")
+    g_xla = jax.grad(loss)(qkv_packed)
+    np.testing.assert_allclose(
+        np.asarray(g_kernel), np.asarray(g_xla), rtol=2e-4, atol=1e-5
+    )
+
+
 def test_model_fused_matches_xla(rng):
     from tpat_tpu.config import ViTConfig
     from tpat_tpu.models.vit import AudioViT

@@ -588,14 +588,53 @@ def _prefix_fwd(qkv, kv_valid, num_heads, mode, num_extra_tokens):
 
 
 def _prefix_bwd(num_heads, mode, num_extra_tokens, residuals, cotangents):
+    """Fused Pallas recompute backward; the same TPAT_XLA_ATTENTION_BWD=1
+    escape hatch as the plain kernel (``_bwd``) — hybrid anneal is the
+    training default, so the debug knob must cover this path too."""
+    import os
+
     qkv, kv_valid = residuals
     d_out, d_scores = cotangents
     has_scores = d_scores is not None and mode is not None
-    cp = _bwd_cp(num_heads, mode, num_extra_tokens, has_scores, True)
-    kv1 = kv_valid.reshape(1)
-    d_qkv = (
-        cp(qkv, d_out, d_scores, kv1) if has_scores else cp(qkv, d_out, kv1)
+    if os.environ.get("TPAT_XLA_ATTENTION_BWD") != "1":
+        cp = _bwd_cp(num_heads, mode, num_extra_tokens, has_scores, True)
+        kv1 = kv_valid.reshape(1)
+        d_qkv = (
+            cp(qkv, d_out, d_scores, kv1)
+            if has_scores
+            else cp(qkv, d_out, kv1)
+        )
+        return (d_qkv, None)
+
+    # XLA reference backward: differentiate the masked XLA restatement
+    # whose forward parity with this kernel test_model_parity.py::
+    # test_hybrid_fused_prefix_matches_xla establishes.
+    from tpat_tpu.ops.attention import attention_with_scores
+
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    h = num_heads
+    dh = c // h
+    e = num_extra_tokens
+    token_mask = jnp.broadcast_to(
+        jnp.arange(n - e) < (kv_valid - e), (b, n - e)
     )
+
+    def ref(qkv_):
+        qkv_r = qkv_.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        out, scores = attention_with_scores(
+            qkv_r[0], qkv_r[1], qkv_r[2],
+            num_extra_tokens=e,
+            importance=mode if mode is not None else "patch_mean",
+            token_mask=token_mask,
+            need_scores=has_scores,
+            impl="xla",
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        return (out, scores) if has_scores else out
+
+    _, vjp = jax.vjp(ref, qkv)
+    (d_qkv,) = vjp((d_out, d_scores) if has_scores else d_out)
     return (d_qkv, None)
 
 

@@ -216,37 +216,6 @@ def build_band_template(
     return band, perm, inv_perm
 
 
-def _banded_fwd_kernel(
-    q_ref, k_ref, v_ref, scale_ref, tmpl_ref, o_ref,
-    *, head_dim, heads_per_block, group,
-):
-    j = pl.program_id(0)
-    for b in range(group):
-        for hh in range(heads_per_block):
-            sl = slice(hh * head_dim, (hh + 1) * head_dim)
-            q = q_ref[b, :, sl].astype(jnp.float32)
-            k = k_ref[b, :, sl].astype(jnp.float32)
-            v = v_ref[b, :, sl]
-            qn = q * jax.lax.rsqrt(
-                jnp.maximum(jnp.sum(q * q, -1, keepdims=True), _EPS * _EPS)
-            )
-            kn = k * jax.lax.rsqrt(
-                jnp.maximum(jnp.sum(k * k, -1, keepdims=True), _EPS * _EPS)
-            )
-            cos = jax.lax.dot_general(
-                qn, kn,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            logits = cos * scale_ref[j * heads_per_block + hh] + tmpl_ref[hh]
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o_ref[b, :, sl] = jnp.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
-            ).astype(o_ref.dtype)
-
-
 def _banded_bwd_kernel(
     q_ref, k_ref, v_ref, scale_ref, tmpl_ref, do_ref,
     dq_ref, dk_ref, dv_ref, dscale_ref, dtmpl_ref,
@@ -370,8 +339,11 @@ def _banded_impl(qkv, scales, band):
     io_out = pl.BlockSpec(
         (g, BLK, LANES), lambda j, c_, i: (i, c_, j), memory_space=pltpu.VMEM
     )
+    # the dense forward body is shape-agnostic (all shapes come from the
+    # BlockSpecs and it only reads grid dim 0) — the banded grid simply
+    # adds the chunk dimension via the index maps
     kernel = functools.partial(
-        _banded_fwd_kernel, head_dim=d, heads_per_block=hpb, group=g
+        _fwd_kernel, head_dim=d, heads_per_block=hpb, group=g
     )
     return pl.pallas_call(
         kernel,
@@ -483,6 +455,9 @@ def _fwd_kernel(
     q_ref, k_ref, v_ref, scale_ref, tmpl_ref, o_ref,
     *, head_dim, heads_per_block, group,
 ):
+    # shared by the dense impl (grid (hb, b/g)) and the banded impl
+    # (grid (hb, chunks, b/g)): block shapes come entirely from the
+    # BlockSpecs and only grid dim 0 (the lane-block j) is read here
     j = pl.program_id(0)  # lane-block index (heads j*hpb .. (j+1)*hpb)
     for b in range(group):
         for hh in range(heads_per_block):

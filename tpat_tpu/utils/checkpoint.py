@@ -26,6 +26,30 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _checkpointer() -> ocp.Checkpointer:
+    """PyTree checkpointer that is safe to call from a SINGLE process of a
+    multi-process run.  Orbax's ``Checkpointer.save`` runs a *global*
+    barrier (``multihost.sync_global_processes``); the reference's
+    rank-0-only save pattern (``util/misc.py:297-312`` ``save_on_master``)
+    would therefore deadlock under ``jax.distributed`` — rank 0 blocks in
+    the barrier while the other ranks are already in the next epoch's
+    psum.  All payloads here are replicated host numpy (``_to_host``), so
+    no cross-host coordination is needed: restrict the barrier set to the
+    calling process and make it the write primary."""
+    if jax.process_count() == 1:
+        return ocp.PyTreeCheckpointer()
+    me = jax.process_index()
+    mp = ocp.options.MultiprocessingOptions(
+        primary_host=me,
+        active_processes={me},
+        barrier_sync_key_prefix=f"tpat-proc-{me}",
+    )
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(multiprocessing_options=mp),
+        multiprocessing_options=mp,
+    )
+
+
 def save_checkpoint(path: str, state, epoch: int, extra: Optional[Dict] = None):
     path = os.path.abspath(path)
     payload = {
@@ -36,12 +60,11 @@ def save_checkpoint(path: str, state, epoch: int, extra: Optional[Dict] = None):
     }
     if extra:
         payload["extra"] = extra
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, payload, force=True)
+    _checkpointer().save(path, payload, force=True)
 
 
 def restore_checkpoint(path: str, template: Optional[Dict] = None) -> Dict:
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _checkpointer()
     if template is not None:
         return ckptr.restore(path, item=template)
     return ckptr.restore(path)
