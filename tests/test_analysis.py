@@ -281,6 +281,16 @@ def test_reducers(tmp_path):
     json.dump({"ESC-50": list(np.linspace(0, 1, 12))}, open(j, "w"))
     out = reducers.draw_kendall_graph(str(j))
     assert os.path.exists(out)
+    # ... and through the CLI (stats/draw_kendall_graph.py equivalent)
+    os.remove(out)
+    import sys
+    from unittest import mock
+
+    with mock.patch.object(
+        sys, "argv", ["reducers", str(j), "--kendall_plot"]
+    ):
+        reducers.main()
+    assert os.path.exists(out)
 
 
 def test_pos_embed_interpolation():

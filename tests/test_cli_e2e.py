@@ -243,6 +243,21 @@ def test_pretrain_cli_smoke_resume_and_export(corpus, tmp_path):
     assert "decoder_blocks_0" in params
     assert "logit_scale" in params["decoder_blocks_0"]["attn"]
 
+    # --resume also accepts a reference-layout .pth (continue pretraining
+    # from the reference's released checkpoint: weights only, fresh
+    # optimizer, epoch 0)
+    out2 = tmp_path / "pre_from_pth"
+    main(
+        get_args_parser().parse_args(
+            base[:-2]
+            + ["--output_dir", str(out2), "--epochs", "1",
+               "--resume", str(out / "mae_pretrained.pth")]
+        )
+    )
+    logs2 = [json.loads(l) for l in open(out2 / "log.txt") if l.strip()]
+    assert [e["epoch"] for e in logs2] == [0]
+    assert np.isfinite(logs2[0]["loss"])
+
 
 def test_pretrain_to_finetune_chain(corpus, tmp_path):
     """The complete AudioMAE workflow the reference documents but cannot

@@ -108,8 +108,15 @@ def main():
     p.add_argument("--pattern", default="best-")
     p.add_argument("--csv", action="store_true",
                    help="average best_result.csv files instead")
+    p.add_argument("--kendall_plot", action="store_true",
+                   help="treat the positional paths as kendall-tau JSON "
+                        "files and render the 12-block line chart "
+                        "(stats/draw_kendall_graph.py equivalent)")
     args = p.parse_args()
     for root in args.root_directories:
+        if args.kendall_plot:
+            print(f"wrote {draw_kendall_graph(root)}")
+            continue
         avg = (
             average_csv_results(root)
             if args.csv

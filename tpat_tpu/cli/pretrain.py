@@ -55,7 +55,9 @@ def get_args_parser():
         choices=["bfloat16", "float32"],
     )
     p.add_argument("--resume", default="",
-                   help="orbax checkpoint dir to resume from")
+                   help="orbax checkpoint dir to resume from, or a "
+                        "reference-layout full-MAE .pth to continue "
+                        "pretraining from (fresh optimizer)")
     p.add_argument("--export_torch", default=True, type=str2bool,
                    help="also write mae_pretrained.pth (reference "
                         "models_mae.py layout) at the end")
@@ -162,7 +164,22 @@ def main(args):
     rng = jax.random.PRNGKey(args.seed)
     step = 0
     start_epoch = 0
-    if args.resume:
+    if args.resume and args.resume.endswith(".pth"):
+        # a reference-layout torch checkpoint (models_mae.py full MAE:
+        # encoder + decoder): continue pretraining from its weights with
+        # a fresh optimizer/schedule — the reference's released
+        # pretrained.pth carries no optimizer state
+        from tpat_tpu.utils.torch_import import (
+            load_torch_state_dict,
+            mae_params_from_state_dict,
+        )
+
+        params = mae_params_from_state_dict(
+            load_torch_state_dict(args.resume)
+        )
+        opt_state = tx.init(params)
+        print(f"initialized from torch checkpoint {args.resume}")
+    elif args.resume:
         template = {
             "params": jax.tree_util.tree_map(np.asarray, params),
             "opt_state": jax.tree_util.tree_map(np.asarray, opt_state),
