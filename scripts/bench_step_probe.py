@@ -54,11 +54,11 @@ def main():
     acc = mod._zero_acc()
 
     # A: plain loop over compiled_step
-    state, acc, m = step(state, acc, x, y)  # warmup/compile
-    force(m["loss"])
+    state, acc = step(state, acc, x, y)  # warmup/compile
+    force(acc["loss_sum"])
     t0 = time.time()
     for _ in range(ITERS):
-        state, acc, m = step(state, acc, x, y)
+        state, acc = step(state, acc, x, y)
     force(acc["loss_sum"])
     print(f"A compiled_step loop: {(time.time()-t0)/ITERS*1000:.1f} ms/step")
 

@@ -53,19 +53,19 @@ def main():
     if mode == "train":
         step = mod.compiled_step("static")
         acc = mod._zero_acc()
-        state, acc, m = step(state, acc, x, y)
-        float(m["loss"])  # compile+run
+        state, acc = step(state, acc, x, y)
+        float(acc["loss_sum"])  # compile+run
 
         t0 = time.time()
         for _ in range(20):
-            state, acc, m = step(state, acc, x, y)
+            state, acc = step(state, acc, x, y)
         float(acc["loss_sum"])
         print(f"{geo} train: {(time.time()-t0)/20*1000:.1f} ms/step")
 
         trace_dir = f"/tmp/trace_{geo}_{mode}"
         with jax.profiler.trace(trace_dir):
             for _ in range(5):
-                state, acc, m = step(state, acc, x, y)
+                state, acc = step(state, acc, x, y)
             float(acc["loss_sum"])
     else:
         model = mod.model

@@ -90,3 +90,33 @@ def test_intensity_band_matches_reference_semantics(rng):
     means = np.asarray(patch_stats(jnp.asarray(x), 16, "mean"))[0]
     want_kept = int(((means > lo) & (means < hi)).sum())
     assert int(kept[0]) == want_kept
+
+
+def test_kept_count_tables_double_ceil():
+    """table[i][n] must be the host-DOUBLE ceil (the reference's
+    math.ceil, models_vit.py:104): at keep 0.07, n=100 double gives
+    7.000000000000001 -> 8 while the f32 product rounds to exactly 7.0."""
+    from tpat_tpu.engine import schedules
+
+    tbl = schedules.kept_count_tables((1.0, 0.07), (1,), 128)
+    assert tbl[1][100] == 8
+    assert float(np.ceil(np.float32(0.07) * np.float32(100))) == 7.0
+    np.testing.assert_array_equal(tbl[0], np.arange(129))
+
+
+def test_band_keeping_all_matches_static_pruned_forward(rng):
+    """A band wide enough to keep every token must leave the band eval on
+    exactly the static pruned forward — exercising the table-driven exact
+    kept counts end-to-end through make_eval_step."""
+    c = cfg(drop_loc=(1,), base_keep_rate=0.5)
+    model = AudioViT(c)
+    x = rng.normal(size=(2, 1, 64, 32)).astype(np.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(x)
+    )["params"]
+    step = eval_lib.make_eval_step(model, intensity_band=(-1e9, 1e9, 0))
+    logits, kept = step(params, jnp.asarray(x))
+    want = model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(want), rtol=2e-5, atol=2e-5
+    )

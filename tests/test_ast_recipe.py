@@ -114,3 +114,21 @@ def test_ast_lr_warmup_milestone_overlap_torch_oracle():
     lr_fn = opt_lib.make_ast_lr_fn(tc, iters_per_epoch=iters)
     got = [float(lr_fn(jnp.asarray(s))) for s in range(iters * n_epochs)]
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_ast_lr_accum_counts_micro_batches():
+    """With optax.MultiSteps the schedule counter counts UPDATES (one per
+    accum window) while the reference's global_step/warmup_steps are
+    micro-batch units — update u must read the lr in effect at its last
+    micro-batch, not stretch the whole schedule by accum_iter."""
+    tc = TrainConfig(
+        optimizer="ast_adam", lr=1e-3, warmup=True,
+        lrscheduler_start=3, lrscheduler_step=1, lrscheduler_decay=0.5,
+        epoch_base=1,
+    )
+    micro = opt_lib.make_ast_lr_fn(tc, iters_per_epoch=500)
+    upd = opt_lib.make_ast_lr_fn(tc, iters_per_epoch=500, accum=4)
+    for u in [0, 10, 100, 300, 499]:
+        assert float(upd(jnp.asarray(u))) == float(
+            micro(jnp.asarray(4 * u + 3))
+        ), u

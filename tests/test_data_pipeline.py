@@ -402,3 +402,47 @@ def test_loader_early_exit_no_leak(corpus):
     import time as _t
     _t.sleep(0.5)  # let producers notice stop and exit
     assert threading.active_count() <= before + 2
+
+
+def test_voxceleb_waveform_mode_matches_host(voxceleb_tree):
+    """VoxCeleb --device_frontend: the NaN head/tail waveform contract
+    must reproduce the host mel pipeline INCLUDING lr_pad's random left
+    placement (same rng stream -> same pad_left draw; the NaN head of
+    pad_left * window_shift samples keeps real frames bit-aligned)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpat_tpu.data.datasets import VoxCeleb1Dataset
+    from tpat_tpu.ops.frontend import FrontendConfig, device_frontend
+
+    cfg = DataConfig(
+        name="voxceleb1", num_classes=3, target_length=128,
+        norm_mean=-6.37, norm_std=3.074, multilabel=False,
+        use_noise=False, loss_type="ce",
+    )
+    fcfg = FrontendConfig(
+        target_length=128, norm_mean=cfg.norm_mean, norm_std=cfg.norm_std
+    )
+    fn = jax.jit(lambda w: device_frontend(w, fcfg))
+    for subset, lr_pad in [("test", False), ("train", True)]:
+        wf_ds = VoxCeleb1Dataset(
+            voxceleb_tree, subset, cfg, lr_pad=lr_pad, return_waveform=True
+        )
+        mel_ds = VoxCeleb1Dataset(voxceleb_tree, subset, cfg, lr_pad=lr_pad)
+        for i in range(len(wf_ds)):
+            wav, y, rel = wf_ds[i]
+            assert wav.shape == (wf_ds.num_samples,)
+            want, y2, rel2 = mel_ds[i]
+            assert rel == rel2
+            np.testing.assert_array_equal(y, y2)
+            got = np.asarray(fn(jnp.asarray(wav[None])))[0]
+            np.testing.assert_allclose(got, want, rtol=2e-3, atol=4e-3)
+        # 1-s clips at target 128 always have a deficit (98 real frames);
+        # the train stream must actually exercise a nonzero left pad
+        if lr_pad:
+            heads = []
+            for i in range(len(wf_ds)):
+                w, _, _ = wf_ds[i]
+                heads.append(int(np.argmax(np.isfinite(w))))
+            assert any(h > 0 for h in heads), heads
+            assert all(h % 160 == 0 for h in heads), heads

@@ -34,6 +34,36 @@ def test_device_matches_host_eval(waves):
         np.testing.assert_allclose(out[b, 0], want, rtol=1e-3, atol=2e-3)
 
 
+def test_device_short_clip_nan_tail_matches_host(waves):
+    """Short clips arrive NaN-padded to the fixed sample budget
+    (datasets._fixed_waveform); the device frontend must reproduce the
+    host pipeline run on the UNPADDED clip — fbank over real samples
+    only, missing frames filled with that clip's fbank.min()
+    (dataset.py:218-225) — not log-mel of digital silence."""
+    cfg = FrontendConfig(target_length=128, norm_mean=-6.0, norm_std=5.0)
+    num_samples = (cfg.target_length - 1) * 160 + 400
+    lengths = [9000, 399, 16000, num_samples]  # incl. sub-window clip
+    long = np.tile(waves, (1, 1 + num_samples // waves.shape[1]))
+    batch = np.full((len(lengths), num_samples), np.nan, dtype=np.float32)
+    for i, n in enumerate(lengths):
+        batch[i, :n] = long[i % 3, :n]
+    out = np.asarray(
+        jax.jit(lambda w: device_frontend(w, cfg))(jnp.asarray(batch))
+    )
+    for i, n in enumerate(lengths):
+        if n < 400:
+            continue  # sub-window clips are pathological; shape-only
+        want = host_pipeline(long[i % 3, :n], cfg)
+        np.testing.assert_allclose(out[i, 0], want, rtol=1e-3, atol=2e-3)
+    # fully-NaN-free batches take the identical path (regression guard)
+    full = np.asarray(
+        jax.jit(lambda w: device_frontend(w, cfg))(
+            jnp.asarray(np.nan_to_num(batch[3:4]))
+        )
+    )
+    np.testing.assert_array_equal(full[0], out[3])
+
+
 def test_device_crop(waves):
     cfg = FrontendConfig(target_length=64, norm_mean=-6.0, norm_std=5.0)
     out = np.asarray(device_frontend(jnp.asarray(waves), cfg))

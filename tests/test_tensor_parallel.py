@@ -136,3 +136,27 @@ def test_trainmodule_2d_mesh_matches_single_device():
             }
             assert shard_cols == {qkv.shape[1] // 2}
     np.testing.assert_allclose(traj["tp2x2"], traj["single"], rtol=2e-3)
+
+
+def test_tp_guard_covers_all_pallas_impls():
+    """Under a model axis EVERY Pallas attention impl (not just 'fused')
+    must auto-select the XLA path — the kernels' custom_partitioning
+    wrappers are batch-sharded only."""
+    from tpat_tpu.config import TrainConfig, ViTConfig
+    from tpat_tpu.engine.train import TrainModule
+    from tpat_tpu.models.vit import AudioViT
+    from tpat_tpu.parallel import sharding as shd
+
+    for impl in ("fused", "fused_padded"):
+        cfg = ViTConfig(
+            embed_dim=64, depth=2, num_heads=2, num_classes=4,
+            target_length=64, num_mel_bins=32, attention_impl=impl,
+            drop_loc=(), base_keep_rate=1.0,
+        )
+        mod = TrainModule(
+            model=AudioViT(cfg), model_cfg=cfg,
+            train_cfg=TrainConfig(batch_size=4, epochs=1),
+            loss_type="ce", iters_per_epoch=1,
+            mesh=shd.make_mesh_2d(2, 2),
+        )
+        assert mod.model_cfg.attention_impl == "xla", impl

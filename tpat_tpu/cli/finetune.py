@@ -201,11 +201,13 @@ def build_everything(args):
 
     wf = bool(args.device_frontend)
     if args.dataset == "voxceleb1":
-        assert not wf, "--device_frontend supports manifest datasets only"
         ds_train = VoxCeleb1Dataset(
-            args.voxceleb1_root, "train", data_cfg, lr_pad=True, seed=args.seed
+            args.voxceleb1_root, "train", data_cfg, lr_pad=True,
+            seed=args.seed, return_waveform=wf,
         )
-        ds_val = VoxCeleb1Dataset(args.voxceleb1_root, "test", data_cfg)
+        ds_val = VoxCeleb1Dataset(
+            args.voxceleb1_root, "test", data_cfg, return_waveform=wf
+        )
     else:
         ds_train = (
             AudiosetDataset(

@@ -153,7 +153,14 @@ class AudiosetDataset:
         wav = w1.reshape(-1)
         n = self.num_samples
         if len(wav) < n:
-            wav = np.pad(wav, (0, n - len(wav)))
+            # NaN tail, not zeros: device_frontend recovers the true
+            # length from the NaN run and min-fills the frames a shorter
+            # clip cannot produce, matching the reference's compute-
+            # fbank-on-the-unpadded-clip-then-pad-mel-with-min semantics
+            # (dataset.py:218-225).  NaN cannot occur in decoded PCM.
+            wav = np.pad(
+                wav, (0, n - len(wav)), constant_values=np.nan
+            )
         else:
             wav = wav[:n]
         return wav.astype(np.float32), lam
@@ -223,10 +230,20 @@ class VoxCeleb1Dataset:
         lr_pad: bool = False,
         seed: int = 0,
         skip_norm: bool = False,
+        return_waveform: bool = False,
+        num_samples: Optional[int] = None,
     ):
         assert subset in ("train", "test")
         self.root = root
         self.cfg = data_cfg
+        # waveform mode (--device_frontend): emit fixed-length raw audio
+        # with the NaN head/tail contract of ops/frontend.device_frontend
+        # — lr_pad's random left pad becomes a NaN head of
+        # pad_left * window_shift samples (frame-exact, see frontend.py)
+        self.return_waveform = return_waveform
+        if return_waveform and num_samples is None:
+            num_samples = (data_cfg.target_length - 1) * 160 + 400
+        self.num_samples = num_samples
         self.train = subset == "train"
         self.lr_pad = lr_pad and self.train
         self.freqm = data_cfg.freqm if self.train else 0
@@ -276,6 +293,32 @@ class VoxCeleb1Dataset:
         wav = wav - wav.mean()
         if self.roll_mag:
             wav = augment.roll_mag_aug(wav, rng)
+
+        if self.return_waveform:
+            assert sr == 16000, "waveform mode assumes 16 kHz (VoxCeleb1)"
+            flat = wav.reshape(-1)
+            n, shift, window = self.num_samples, 160, 400
+            out = np.full(n, np.nan, dtype=np.float32)
+            if len(flat) >= n:
+                out[:] = flat[:n]
+            else:
+                # the same pad_left draw as the mel path below, in frames
+                real_frames = (
+                    1 + (len(flat) - window) // shift
+                    if len(flat) >= window
+                    else 0
+                )
+                deficit = self.cfg.target_length - real_frames
+                pad_left = (
+                    int(rng.integers(0, deficit + 1))
+                    if (self.lr_pad and deficit > 0)
+                    else 0
+                )
+                start = pad_left * shift
+                m = min(len(flat), n - start)
+                out[start : start + m] = flat[:m]
+            return out, label, rel
+
         mel = _host_fbank(wav[0], sr, self.cfg.num_mel_bins)
         pad_left = 0
         deficit = self.cfg.target_length - mel.shape[0]

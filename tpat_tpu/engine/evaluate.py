@@ -25,7 +25,6 @@ from tpat_tpu.parallel import mesh as mesh_lib
 
 def make_eval_step(
     model: AudioViT,
-    mesh=None,
     extract_features: bool = False,
     custom_rank=None,
     intensity_band=None,
@@ -49,12 +48,26 @@ def make_eval_step(
                 "extraction or custom_rank"
             )
         lo, hi, blk = intensity_band
+        # the band makes downstream kept counts per-sample data-dependent,
+        # so precomposed num_left_array is invalid — feed host-double ceil
+        # TABLES instead, keeping pruning widths bit-identical to the
+        # reference's math.ceil (models_vit.py:104) where the in-graph
+        # f32 ceil can sit on an integer boundary
+        from tpat_tpu.engine import schedules as sched_lib
+
+        tables = jnp.asarray(
+            sched_lib.kept_count_tables(
+                model.cfg.keep_rates, model.cfg.drop_loc,
+                model.cfg.num_patches,
+            )
+        )
 
         def fwd_band(params, x):
             return model.apply(
                 {"params": params},
                 pre(x),
                 jnp.asarray(model.cfg.keep_rates, jnp.float32),
+                num_left_tables=tables,
                 intensity_band=(jnp.float32(lo), jnp.float32(hi), blk),
                 method=AudioViT.forward_masked,
             )
@@ -140,8 +153,11 @@ def _run_batches(
         if feature_writer is not None:
             logits, features = out
             if index_to_name is not None:
+                # trim to n BEFORE the argmax: rows past n are padding
+                # (padded multi-host dist-eval) and must not emit labels
                 features["labels"] = [
-                    index_to_name[int(i)] for i in np.argmax(y, axis=1)
+                    index_to_name[int(i)]
+                    for i in np.argmax(np.asarray(y)[:n], axis=1)
                 ]
             else:
                 features["labels"] = ["temp"] * n
@@ -194,7 +210,7 @@ def evaluate_classification(
     exact global metrics; the reported CE loss keeps the reference's
     local per-batch-mean quirk (the reference never gathers it)."""
     step = make_eval_step(
-        model, mesh, extract_features=feature_writer is not None,
+        model, extract_features=feature_writer is not None,
         custom_rank=custom_rank, intensity_band=intensity_band,
         preprocess=preprocess,
     )
@@ -241,7 +257,7 @@ def evaluate_multilabel(
     ``allgather=True``: the dist-eval concat of engine_finetune.py:246-248
     — per-host unpadded shards gathered across processes before the mAP."""
     step = make_eval_step(
-        model, mesh, extract_features=feature_writer is not None,
+        model, extract_features=feature_writer is not None,
         preprocess=preprocess,
     )
     logits, targets, _sizes = _run_batches(

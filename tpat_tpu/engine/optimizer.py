@@ -125,7 +125,9 @@ def make_ast_optimizer(
     )
 
 
-def make_ast_lr_fn(train_cfg: TrainConfig, iters_per_epoch: int) -> Callable:
+def make_ast_lr_fn(
+    train_cfg: TrainConfig, iters_per_epoch: int, accum: int = 1
+) -> Callable:
     """Exact step-by-step replica of the reference AST LR machinery
     (traintest.py:95, 160-164, 249): MultiStepLR over milestones
     range(start, 1000, step) multiplies the CURRENT param-group lr by
@@ -136,7 +138,13 @@ def make_ast_lr_fn(train_cfg: TrainConfig, iters_per_epoch: int) -> Callable:
     milestones stop at epoch 999 — so a closed form over milestone counts
     is wrong whenever warmup spans milestone epochs (it does in the small
     recipes).  The torch loop is simulated once on the host into a
-    per-step table; lr_fn(step) indexes it with the traced step."""
+    per-step table; lr_fn(step) indexes it with the traced step.
+
+    ``accum``: with optax.MultiSteps, the schedule counter counts
+    OPTIMIZER UPDATES (one per ``accum`` micro-batches) while the table
+    (and the reference's global_step / warmup_steps) is in micro-batch
+    units — so update u reads the lr in effect at its LAST micro-batch
+    (where torch's opt.step() would fire), not table[u]."""
     base = train_cfg.lr if train_cfg.lr is not None else train_cfg.blr
     start = train_cfg.lrscheduler_start
     step_sz = max(train_cfg.lrscheduler_step, 1)
@@ -163,7 +171,8 @@ def make_ast_lr_fn(train_cfg: TrainConfig, iters_per_epoch: int) -> Callable:
     tbl = jnp.asarray(table, jnp.float32)
 
     def lr_fn(step):
-        return tbl[jnp.clip(step, 0, len(table) - 1)]
+        micro = step * accum + (accum - 1)
+        return tbl[jnp.clip(micro, 0, len(table) - 1)]
 
     return lr_fn
 

@@ -121,6 +121,34 @@ def masked_kept_counts(
     return compose_kept_counts(effective, num_patches)
 
 
+def kept_count_tables(
+    rates: Tuple[float, ...],
+    drop_loc: Tuple[int, ...],
+    num_patches: int,
+):
+    """(depth, num_patches+1) int32 lookup: ``table[i][n] = ceil(rates[i]
+    * n)`` composed in host double — the reference's ``math.ceil``
+    arithmetic (models_vit.py:104) for a RUNTIME kept count ``n``.
+
+    Used by the intensity-band eval, where the band intersects the token
+    mask mid-network and makes downstream kept counts per-sample
+    data-dependent: ``masked_kept_counts`` cannot precompose them, and
+    the in-graph f32 ceil can disagree with double at integer boundaries.
+    Non-``drop_loc`` rows are the identity (never indexed)."""
+    import math
+
+    import numpy as np
+
+    depth = len(rates)
+    tbl = np.zeros((depth, num_patches + 1), np.int32)
+    for i, r in enumerate(rates):
+        if i in drop_loc:
+            tbl[i] = [math.ceil(float(r) * n) for n in range(num_patches + 1)]
+        else:
+            tbl[i] = np.arange(num_patches + 1)
+    return tbl
+
+
 def schedule_phase(
     epoch: int, *, shrink_start_epoch: int, shrink_epochs: int,
     base_keep_rate: float,

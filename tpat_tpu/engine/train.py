@@ -107,7 +107,7 @@ class TrainModule:
         # attention auto-selects the XLA path (einsum attention
         # partitions cleanly over heads); param trees are identical, so
         # checkpoints/imports are unaffected.
-        if self._tp_size() > 1 and self.model_cfg.attention_impl == "fused":
+        if self._tp_size() > 1 and self.model_cfg.attention_impl != "xla":
             self.model_cfg = dataclasses.replace(
                 self.model_cfg, attention_impl="xla"
             )
@@ -134,7 +134,9 @@ class TrainModule:
                 )
         if self.train_cfg.optimizer == "ast_adam":
             self.lr_fn = opt_lib.make_ast_lr_fn(
-                self.train_cfg, max(self.iters_per_epoch, 1)
+                self.train_cfg,
+                max(self.iters_per_epoch, 1),
+                accum=self.train_cfg.accum_iter,
             )
         else:
             # eff batch includes the host count (main_finetune.py:437-439:
@@ -254,25 +256,23 @@ class TrainModule:
                 opt_state=opt_state,
                 rng=rng,
             )
-            metrics = {
-                "loss": loss,
-                "lr": self.lr_fn(state.step // max(self.train_cfg.accum_iter, 1)),
-                "grad_norm": opt_lib.global_grad_norm(grads),
-            }
             # Device-side metric accumulation: the host never reads a
             # scalar per step, so the loop never blocks on the device.
             # The NaN abort (engine_finetune.py:108-110) becomes a device
             # flag checked at fetch points in train_epoch.
             acc = {
                 "loss_sum": acc["loss_sum"] + loss,
-                "grad_norm_sum": acc["grad_norm_sum"] + metrics["grad_norm"],
+                "grad_norm_sum": acc["grad_norm_sum"]
+                + opt_lib.global_grad_norm(grads),
                 # last applied lr, from the optimizer's actual step counter
                 # (not recomputed on the host from loop indices, which can
                 # drift from state.step after resume / short epochs)
-                "lr_last": metrics["lr"],
+                "lr_last": self.lr_fn(
+                    state.step // max(self.train_cfg.accum_iter, 1)
+                ),
                 "finite": jnp.logical_and(acc["finite"], jnp.isfinite(loss)),
             }
-            return new_state, acc, metrics
+            return new_state, acc
 
         return step
 
@@ -472,7 +472,7 @@ class TrainModule:
                         # preprocess: the dense-phase step re-enables
                         # on-device SpecAug, which the shrink phase
                         # must keep disabled (main_finetune.py:518-522).
-                        state, acc, metrics = self.compiled_step(
+                        state, acc = self.compiled_step(
                             "dense", 0.0
                         )(state, acc, x, y)
                     else:
@@ -485,7 +485,7 @@ class TrainModule:
                         hstep = self.compiled_step(
                             "anneal", 0.0, static_rates=bucketed
                         )
-                        state, acc, metrics = hstep(state, acc, x, y, kr, nl)
+                        state, acc = hstep(state, acc, x, y, kr, nl)
                 elif cfg.anneal_mode == "bucketed":
                     bucketed = schedules.bucket_keep_rates(
                         rates,
@@ -513,13 +513,12 @@ class TrainModule:
                         bstep = self.compiled_step(
                             "static", 0.0, static_rates=bucketed
                         )
-                    state, acc, metrics = bstep(state, acc, x, y)
+                    state, acc = bstep(state, acc, x, y)
                 else:
                     kr, nl = masked_args(rates)
-                    state, acc, metrics = step_fn(state, acc, x, y, kr, nl)
+                    state, acc = step_fn(state, acc, x, y, kr, nl)
             else:
-                state, acc, metrics = step_fn(state, acc, x, y)
-            del metrics  # device scalars; everything needed rides in acc
+                state, acc = step_fn(state, acc, x, y)
             n_steps += 1
             at_log = log_every and i % log_every == 0
             if at_log:

@@ -340,6 +340,7 @@ class Block(nn.Module):
         *,
         keep_rate: Optional[Array],
         num_left: Optional[Array] = None,
+        num_left_table: Optional[Array] = None,
         bucket_k: Optional[int] = None,
         mask_is_full: bool = False,
         prefix_len: Optional[Array] = None,
@@ -348,7 +349,11 @@ class Block(nn.Module):
         """Masked (anneal) path.  keep_rate is a traced scalar in (0, 1]
         or None for a non-pruning block; shapes stay full.  ``num_left``
         optionally overrides the in-graph f32 ceil with a host-computed
-        exact kept count (engine/schedules.masked_kept_counts).
+        exact kept count (engine/schedules.masked_kept_counts);
+        ``num_left_table`` ((num_patches+1,) int32, mutually exclusive
+        with ``num_left``) instead maps the RUNTIME per-sample kept count
+        through a host-double ceil table — for paths (intensity band)
+        where the count is data-dependent and cannot be precomposed.
 
         ``bucket_k`` (static int) enables the HYBRID anneal: after the
         mask refine, physically gather the top ``bucket_k`` patch tokens
@@ -382,7 +387,10 @@ class Block(nn.Module):
         if keep_rate is not None:
             if num_left is None:
                 kept = jnp.sum(token_mask.astype(jnp.int32), axis=1)  # (B,)
-                num_left = pruning.masked_num_left(keep_rate, kept)
+                if num_left_table is not None:
+                    num_left = num_left_table[kept]
+                else:
+                    num_left = pruning.masked_num_left(keep_rate, kept)
             if bucket_k is not None:
                 # Hybrid: gather the top bucket_k tokens by PRE-refine
                 # masked score (always, even width-preserving — the
@@ -723,6 +731,7 @@ class AudioViT(nn.Module):
         keep_rate_array: Array,
         *,
         num_left_array: Optional[Array] = None,
+        num_left_tables: Optional[Array] = None,
         intensity_band: Optional[Tuple[Array, Array, int]] = None,
         deterministic: bool = True,
     ):
@@ -739,6 +748,12 @@ class AudioViT(nn.Module):
         the in-graph f32 ceil can differ at integer boundaries.  Mutually
         exclusive with intensity_band (the band changes kept counts
         mid-network, invalidating precomposed values).
+
+        num_left_tables: optional (depth, num_patches+1) int32 host-double
+        ceil tables (engine/schedules.kept_count_tables) — the band path's
+        exact-arithmetic substitute for ``num_left_array``: each pruning
+        block maps its RUNTIME kept count through its table instead of the
+        in-graph f32 ceil.
 
         intensity_band: optional (retain_min, retain_max, block_idx) for the
         intensity-band ablation (``models_vit.py:353-385``): after
@@ -783,8 +798,14 @@ class AudioViT(nn.Module):
                 if (num_left_array is not None and i in cfg.drop_loc)
                 else None
             )
+            nlt = (
+                num_left_tables[i]
+                if (num_left_tables is not None and i in cfg.drop_loc)
+                else None
+            )
             tokens, token_mask = blk.masked_call(
                 tokens, token_mask, keep_rate=kr, num_left=nl,
+                num_left_table=nlt,
                 mask_is_full=i <= first_nontrivial,
                 deterministic=deterministic,
             )

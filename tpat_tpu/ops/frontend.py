@@ -88,11 +88,59 @@ def device_frontend(
 
     jit-able with static shapes; ``train=True`` enables SpecAug/noise
     (requires ``rng``).
+
+    Short-clip contract: fixed-shape batching forces the dataset to pad
+    short waveforms up to ``num_samples``, but the reference computes
+    fbank on the UNPADDED clip and pads the *mel* rows with
+    ``fbank.min()`` (dataset.py:218-225) — frames over digital silence
+    are not the same thing.  The dataset therefore pads with **NaN**
+    (impossible in decoded PCM); the NaN runs are scanned here, frames a
+    shorter true length cannot produce are replaced by that clip's min
+    over its REAL frames, and the NaNs are zeroed before the FFT.
+    Fully-finite inputs are unaffected.
+
+    A NaN **head** encodes VoxCeleb's random left pad (lr_pad,
+    dataset.py:357-366: ``pad_left`` rows of fbank.min() BEFORE the
+    clip's rows).  The head length must be ``pad_left * window_shift``
+    samples — then real frame ``i`` of the padded waveform covers
+    exactly the samples of unpadded frame ``i - pad_left``, so the
+    computed rows are bit-aligned with the reference's shifted mel and
+    the first ``pad_left`` rows (over padding) take the min fill.
     """
+    finite = jnp.isfinite(waveforms)
+    any_nan = ~jnp.all(finite)
+    n_samp = jnp.sum(finite, axis=1)  # (B,) true lengths
+    head = jnp.argmax(finite, axis=1)  # first real sample (0: no head pad)
+    waveforms = jnp.where(finite, waveforms, 0.0)
+
     mel = fb.fbank_jax(waveforms, cfg.fbank_cfg)  # (B, frames, bins)
     b, n_frames, bins = mel.shape
 
-    # pad with the per-utterance min / crop to target_length
+    fcfg = cfg.fbank_cfg
+    valid = jnp.where(
+        n_samp < fcfg.window_size,
+        0,
+        1 + (n_samp - fcfg.window_size) // fcfg.window_shift,
+    )
+    valid = jnp.clip(valid, 1, n_frames)  # (B,) frames the true clip has
+    head_frames = head // fcfg.window_shift  # contract: exact multiple
+    fidx = jnp.arange(n_frames)[None, :]
+    frame_ok = (fidx >= head_frames[:, None]) & (
+        fidx < (head_frames + valid)[:, None]
+    )  # (B, F)
+    real_min = jnp.min(
+        jnp.where(frame_ok[:, :, None], mel, jnp.inf), axis=(1, 2),
+        keepdims=True,
+    )
+    # replace the frames computed over padding with the reference's
+    # fbank.min() fill; no-op (and no wasted work at trace time) for
+    # batches without NaN tails
+    mel = jnp.where(
+        any_nan, jnp.where(frame_ok[:, :, None], mel, real_min), mel
+    )
+
+    # pad with the per-utterance min / crop to target_length (after the
+    # fill above, min over all frames == min over real frames)
     t = cfg.target_length
     if n_frames < t:
         fill = jnp.min(mel, axis=(1, 2), keepdims=True)
