@@ -82,30 +82,63 @@ def test_fused_vit_grad_matches_on_mesh(vit_setup):
         )
 
 
-def test_fused_prefix_path_matches_on_mesh(vit_setup):
-    """The hybrid-anneal prefix kernel (traced kv_valid scalar) under the
-    mesh: forward_masked with traced keep rates."""
-    model, params, x = vit_setup
+def test_fused_prefix_path_matches_on_mesh(vit_setup, monkeypatch):
+    """The hybrid-anneal prefix kernel (traced kv_valid scalar,
+    ``fused_qkv_attention_prefix``) under the mesh: forward_hybrid at a
+    bucket width strictly wider than the exact kept count, so the
+    post-drop blocks dispatch the prefix kernel's custom_partitioning
+    rules — the multi-chip hybrid-anneal training default.  A trace-time
+    counter asserts the prefix kernel actually ran (guarding against the
+    dispatch silently falling back to the masked XLA path)."""
+    from tpat_tpu.engine.schedules import bucket_keep_rates, masked_kept_counts
+    from tpat_tpu.ops import pallas_attention as pa
 
-    rates = jnp.asarray([1.0, 0.8, 1.0], jnp.float32)
+    model, params, x = vit_setup
+    cfg = model.cfg
+
+    # exact ceil(0.75*8)=6 < bucket width ceil(0.85*8)=7 -> real prefix
+    rates = tuple(0.75 if i in cfg.drop_loc else 1.0 for i in range(cfg.depth))
+    bucket = bucket_keep_rates(
+        rates, base_keep_rate=cfg.base_keep_rate, n_buckets=2
+    )
+    nl = jnp.asarray(
+        masked_kept_counts(rates, cfg.drop_loc, cfg.num_patches), jnp.int32
+    )
+    kr = jnp.asarray(rates, jnp.float32)
+
+    calls = {"prefix": 0}
+    real_prefix = pa.fused_qkv_attention_prefix
+
+    def counting_prefix(*a, **kw):
+        calls["prefix"] += 1
+        return real_prefix(*a, **kw)
+
+    monkeypatch.setattr(pa, "fused_qkv_attention_prefix", counting_prefix)
 
     def loss(p, x):
         out = model.apply(
-            {"params": p}, x, rates, method=AudioViT.forward_masked
+            {"params": p}, x, kr, num_left_array=nl, bucket_rates=bucket,
+            method=AudioViT.forward_hybrid,
         )
         return jnp.mean(out.astype(jnp.float32) ** 2)
 
     l_ref, g_ref = jax.value_and_grad(loss)(params, jnp.asarray(x))
+    assert calls["prefix"] > 0, (
+        "forward_hybrid never dispatched the fused prefix kernel — the "
+        "test geometry no longer exercises the prefix partitioning rules"
+    )
     mesh = _mesh()
     l_m, g_m = jax.jit(jax.value_and_grad(loss))(
         _rep(mesh, params), _shard(mesh, x)
     )
     np.testing.assert_allclose(float(l_m), float(l_ref), rtol=1e-5)
-    ga = jax.tree_util.tree_leaves(g_ref)
-    gb = jax.tree_util.tree_leaves(g_m)
-    for a, b in zip(ga, gb):
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_m),
+    ):
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
         )
 
 

@@ -231,8 +231,8 @@ def build_everything(args):
     rank, world = jax.process_index(), jax.process_count()
     if world > 1:
         assert args.batch_size % jax.local_device_count() == 0, (
-            f"per-host batch {args.batch_size} must divide the local "
-            f"device count {jax.local_device_count()}"
+            f"per-host batch {args.batch_size} must be a multiple of the "
+            f"local device count {jax.local_device_count()}"
         )
     loader_train = (
         DataLoader(
@@ -473,10 +473,16 @@ def run_eval(args, model, model_cfg, data_cfg, module, loader_val, params):
         intensity_band=intensity_band,
     )
     metric = "mAP" if args.dataset == "audioset" else "acc1"
-    print(f"{metric}: {stats[metric]:.4f}")
-    if args.result_path:
-        with open(args.result_path, "w") as f:
-            f.write(f"{stats[metric]:.4f}")
+    # rank-0-only artifact writes, as everywhere else (misc.py:297-312
+    # equivalent); under --dist_eval every process reaches here with the
+    # same (allgathered) stats — N concurrent writers would race
+    import jax
+
+    if jax.process_index() == 0:
+        print(f"{metric}: {stats[metric]:.4f}")
+        if args.result_path:
+            with open(args.result_path, "w") as f:
+                f.write(f"{stats[metric]:.4f}")
     return stats
 
 

@@ -100,8 +100,8 @@ def main(args):
     is_main = rank == 0
     if world > 1:
         assert args.batch_size % jax.local_device_count() == 0, (
-            f"per-host batch {args.batch_size} must divide the local "
-            f"device count {jax.local_device_count()}"
+            f"per-host batch {args.batch_size} must be a multiple of the "
+            f"local device count {jax.local_device_count()}"
         )
     loader = DataLoader(
         ds, args.batch_size,

@@ -112,6 +112,13 @@ def main(args):
     # nn.DataParallel, traintest.py:78-79): no-op without a coordinator
     rank, world = dist_lib.init_distributed_mode()
     is_main = rank == 0
+    if world > 1:
+        # same startup guard as cli/finetune.py — fail clearly here
+        # rather than as a GSPMD shape error inside shard_batch
+        assert args.batch_size % jax.local_device_count() == 0, (
+            f"per-host batch {args.batch_size} must be a multiple of the "
+            f"local device count {jax.local_device_count()}"
+        )
 
     # per-dataset SpecAug table (run.py:150-158); flags override
     timem_conf = {"audioset": 192, "speechcommands": 48, "esc50": 96}

@@ -265,9 +265,13 @@ def audiomae_vit_huge(**kw) -> ViTConfig:
     reference's factory name says patch 14 (ImageNet MAE heritage), but
     the audio driver swaps in a 16x16 patch embed for every model
     (``main_finetune.py:374-382``), so 16 is the audio default here; pass
-    ``patch_size=14`` for the raw ImageNet geometry.  head_dim 80 rides
-    the lane-padded fused kernel
-    (``ops/pallas_attention.fused_qkv_attention_lane_padded``)."""
+    ``patch_size=14`` for the raw ImageNet geometry.  head_dim 80 fails
+    the fused kernel's lane constraint, so the default
+    ``attention_impl='fused'`` silently takes the XLA attention fallback;
+    the lane-padded kernel
+    (``ops/pallas_attention.fused_qkv_attention_lane_padded``) measured
+    SLOWER on the target chip (docs/BENCH_NOTES.md) and is explicit
+    opt-in via ``attention_impl='fused_padded'``."""
     kw.setdefault("patch_size", 16)
     return ViTConfig(
         embed_dim=1280,

@@ -108,7 +108,6 @@ def device_frontend(
     the first ``pad_left`` rows (over padding) take the min fill.
     """
     finite = jnp.isfinite(waveforms)
-    any_nan = ~jnp.all(finite)
     n_samp = jnp.sum(finite, axis=1)  # (B,) true lengths
     head = jnp.argmax(finite, axis=1)  # first real sample (0: no head pad)
     waveforms = jnp.where(finite, waveforms, 0.0)
@@ -132,12 +131,13 @@ def device_frontend(
         jnp.where(frame_ok[:, :, None], mel, jnp.inf), axis=(1, 2),
         keepdims=True,
     )
-    # replace the frames computed over padding with the reference's
-    # fbank.min() fill; no-op (and no wasted work at trace time) for
-    # batches without NaN tails
-    mel = jnp.where(
-        any_nan, jnp.where(frame_ok[:, :, None], mel, real_min), mel
-    )
+    # Replace the frames computed over padding with the reference's
+    # fbank.min() fill.  For a fully-finite clip, valid == n_frames by the
+    # same snip_edges formula fbank_jax uses, so frame_ok is all-true and
+    # this is an identity; the scan+fill always executes (traced values —
+    # there is no compile-time fast path), costing O(B·samples) isfinite
+    # plus one masked min over the mel — negligible next to the FFT.
+    mel = jnp.where(frame_ok[:, :, None], mel, real_min)
 
     # pad with the per-utterance min / crop to target_length (after the
     # fill above, min over all frames == min over real frames)

@@ -104,6 +104,27 @@ def supports(
     return budget >= 7 * tokens * LANES * itemsize * 2
 
 
+def _window_coords(
+    feat_size: Tuple[int, int],
+    window: Tuple[int, int],
+    shift: Tuple[int, int],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-token ``(window id, within-window position)`` of the rolled
+    grid, flattened to (N,) in original token order.  Rolled coordinates:
+    ``roll(x, (-st, -sf))`` puts token (t, f) at (t−st mod T, f−sf mod F).
+    Single source for the roll/window-id convention shared by the dense
+    template and the banded window-major permutation."""
+    t, f = feat_size
+    wh, ww = window
+    st, sf = shift
+    tt, ff = np.meshgrid(np.arange(t), np.arange(f), indexing="ij")
+    a = (tt - st) % t
+    b = (ff - sf) % f
+    win = (a // wh) * (f // ww) + b // ww
+    pos = (a % wh) * ww + b % ww
+    return win.reshape(t * f), pos.reshape(t * f)
+
+
 def build_window_template(
     bias: jnp.ndarray,
     feat_size: Tuple[int, int],
@@ -117,19 +138,8 @@ def build_window_template(
     tokens); everything else is static.  Gradient flows through the
     bias gather (scatter-add on the backward pass).
     """
-    t, f = feat_size
-    wh, ww = window
-    st, sf = shift
-    n = t * f
-    tt, ff = np.meshgrid(np.arange(t), np.arange(f), indexing="ij")
-    # rolled coordinates: roll(x, (-st, -sf)) puts token (t, f) at
-    # (t - st mod T, f - sf mod F)
-    a = (tt - st) % t
-    b = (ff - sf) % f
-    win = (a // wh) * (f // ww) + b // ww  # window id per token
-    pos = (a % wh) * ww + b % ww  # within-window position
-    win = win.reshape(n)
-    pos = pos.reshape(n)
+    n = feat_size[0] * feat_size[1]
+    win, pos = _window_coords(feat_size, window, shift)
     allowed = win[:, None] == win[None, :]
     if region_mask is not None:
         rm = region_mask[win[:, None], pos[:, None], pos[None, :]]
@@ -174,15 +184,8 @@ def window_order(
     (windows in scan order, tokens within a window in within-window
     position order); ``inv_perm`` undoes it; ``wo_win``/``wo_pos`` are
     the window id / within-window position at each window-major slot."""
-    t, f = feat_size
-    wh, ww = window
-    st, sf = shift
-    n = t * f
-    tt, ff = np.meshgrid(np.arange(t), np.arange(f), indexing="ij")
-    a = (tt - st) % t
-    b = (ff - sf) % f
-    win = ((a // wh) * (f // ww) + b // ww).reshape(n)
-    pos = ((a % wh) * ww + b % ww).reshape(n)
+    n = feat_size[0] * feat_size[1]
+    win, pos = _window_coords(feat_size, window, shift)
     perm = np.lexsort((pos, win))
     inv_perm = np.empty(n, np.int64)
     inv_perm[perm] = np.arange(n)
