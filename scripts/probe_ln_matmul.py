@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 M, K, N = 128 * 257, 768, 2304
 EPS = 1e-6
-ITERS = 20
+ITERS = 200
 
 
 def ln(x, g, b):
@@ -71,25 +71,37 @@ def ln_matmul(x, g, b, w, bm=256, bn=768):
     )(x, g.reshape(1, k), b.reshape(1, k), w)
 
 
-def bench(name, fn, *args):
+FLOOR = [0.0]
+
+
+def bench(name, fn, *args, is_floor=False):
     """Time ITERS applications inside ONE jitted fori_loop so the relay's
     per-dispatch latency (tens of ms here) is paid once, not per call.
-    The accumulator sums the full output so XLA cannot slice-simplify
-    the matmul away; the reduce cost is identical across variants."""
+    The FIRST argument is perturbed by the loop carry (a bit-exact no-op
+    on O(1) data) — without this, XLA's loop-invariant code motion hoists
+    the whole body out of the loop and every op reads as (round-trip /
+    ITERS); a null body calibrates the remaining floor."""
 
     @jax.jit
-    def run(*a):
+    def run(x0, *rest):
         def body(_, acc):
-            return acc + jnp.sum(fn(*a).astype(jnp.float32))
+            xp = (x0.astype(jnp.float32) + acc * 1e-38).astype(x0.dtype)
+            return acc + jnp.sum(fn(xp, *rest).astype(jnp.float32))
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
-    s = float(run(*args))  # compile + warm
-    t0 = time.time()
-    s = float(run(*args))
-    dt = (time.time() - t0) / ITERS * 1000
-    print(f"{name:28s} {dt:7.3f} ms   (checksum {s:.3f})")
-    return dt
+    float(run(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(run(*args))
+        best = min(best, (time.time() - t0) / ITERS * 1000)
+    if is_floor:
+        FLOOR[0] = best
+        print(f"{name:28s} {best:7.3f} ms   (floor)")
+    else:
+        print(f"{name:28s} {best - FLOOR[0]:7.3f} ms   (raw {best:7.3f})")
+    return best - FLOOR[0]
 
 
 def main():
@@ -116,6 +128,7 @@ def main():
     err = np.abs(ref - got).max() / max(np.abs(ref).max(), 1e-6)
     print(f"fused vs XLA rel err: {err:.2e}")
 
+    bench("null (floor)", lambda x: x[:2, :2], x, is_floor=True)
     a = bench("A x@W", mm, x, w)
     d = bench("D LN(x)", ln_only, x, g, b)
     b_ = bench("B LN(x)@W (XLA)", lnmm, x, g, b, w)

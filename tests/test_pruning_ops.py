@@ -35,6 +35,41 @@ def test_gather_tokens_extra_offset(rng):
         np.testing.assert_array_equal(got, ref)
 
 
+def test_onehot_take_rows_bit_identical(rng):
+    """The MXU one-hot gather (the TPU lowering of ``take_rows``) must be
+    BIT-identical to take_along_axis — values and gradients, f32 and bf16
+    (exactly one nonzero product per output element, so accumulation
+    order cannot matter)."""
+    import jax
+
+    x = rng.normal(size=(3, 19, 16)).astype(np.float32)
+    idx = rng.integers(0, 19, size=(3, 7)).astype(np.int32)
+    for dt in (jnp.float32, jnp.bfloat16):
+        xj = jnp.asarray(x, dt)
+        want = jnp.take_along_axis(xj, jnp.asarray(idx)[..., None], axis=1)
+        got = pruning.onehot_take_rows(xj, jnp.asarray(idx))
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(want, np.float32)
+        )
+
+    # gradient: the one-hot backward (transposed matmul) == scatter-add,
+    # incl. duplicate indices accumulating
+    idx_dup = np.array([[0, 0, 5], [2, 2, 2], [1, 3, 1]], dtype=np.int32)
+    xj = jnp.asarray(x)
+
+    def loss_oh(x):
+        return jnp.sum(pruning.onehot_take_rows(x, jnp.asarray(idx_dup)) ** 2)
+
+    def loss_ta(x):
+        return jnp.sum(
+            jnp.take_along_axis(x, jnp.asarray(idx_dup)[..., None], axis=1) ** 2
+        )
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.grad(loss_oh)(xj)), np.asarray(jax.grad(loss_ta)(xj))
+    )
+
+
 def test_num_left_tokens_ceil():
     # ESC-50 shape walk (SURVEY.md §3.5): 256 -> 128 -> 64 -> 32 at keep 0.5
     assert pruning.num_left_tokens(0.5, 256) == 128

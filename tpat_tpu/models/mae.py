@@ -42,6 +42,7 @@ import numpy as np
 from tpat_tpu.config import ViTConfig
 from tpat_tpu.models import pos_embed as pe
 from tpat_tpu.models.vit import Block, Mlp, PatchEmbed
+from tpat_tpu.ops import pruning
 
 _xavier = nn.initializers.xavier_uniform()
 _normal02 = nn.initializers.normal(stddev=0.02)
@@ -458,7 +459,7 @@ class MaskedAutoencoderViT(nn.Module):
         ids_shuffle = jnp.argsort(noise, axis=1)
         ids_restore = jnp.argsort(ids_shuffle, axis=1)
         ids_keep = ids_shuffle[:, :len_keep]
-        x_masked = jnp.take_along_axis(x, ids_keep[..., None], axis=1)
+        x_masked = pruning.take_rows(x, ids_keep)
         mask = jnp.ones((b, l))
         mask = mask.at[:, :len_keep].set(0)
         mask = jnp.take_along_axis(mask, ids_restore, axis=1)
@@ -498,7 +499,7 @@ class MaskedAutoencoderViT(nn.Module):
         id2res = id2res + offset * mask.reshape(b, -1)
         id2res2 = jnp.argsort(id2res, axis=1)
         ids_keep = id2res2[:, : len_keep_t * len_keep_f]
-        x_masked = jnp.take_along_axis(x, ids_keep[..., None], axis=1)
+        x_masked = pruning.take_rows(x, ids_keep)
         ids_restore = jnp.argsort(id2res2, axis=1)
         return x_masked, mask.reshape(b, -1), ids_restore
 
@@ -537,7 +538,7 @@ class MaskedAutoencoderViT(nn.Module):
             self.mask_token.astype(x.dtype), (b, n_mask, cfg.decoder_embed_dim)
         )
         x_ = jnp.concatenate([x[:, 1:, :], mask_tokens], axis=1)
-        x_ = jnp.take_along_axis(x_, ids_restore[..., None], axis=1)
+        x_ = pruning.take_rows(x_, ids_restore)
         x = jnp.concatenate([x[:, :1, :], x_], axis=1)
         x = x + self._pos(self.decoder_pos_embed).astype(x.dtype)
 

@@ -327,7 +327,7 @@ class Block(nn.Module):
                 # custom-rank gather indexes the FULL sequence (extras
                 # included) with patch-space indices — replicated verbatim.
                 idx = pruning.topk_select(custom_rank, k)
-                x = jnp.take_along_axis(x, idx[..., None], axis=1)
+                x = pruning.take_rows(x, idx)
             aux["topk_idx"] = idx
 
         x = self._residual(x, self.mlp(self.norm2(x), deterministic), deterministic)

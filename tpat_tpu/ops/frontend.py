@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from tpat_tpu.ops import fbank as fb
+from tpat_tpu.ops import pruning
 
 
 @dataclasses.dataclass(frozen=True)
@@ -166,6 +167,6 @@ def device_frontend(
         mel = mel + jax.random.uniform(r1, mel.shape) * scale[:, None, None]
         shift = jax.random.randint(r3, (b,), -10, 10)
         rows = (jnp.arange(t)[None, :] - shift[:, None]) % t  # (B, T)
-        mel = jnp.take_along_axis(mel, rows[:, :, None], axis=1)
+        mel = pruning.take_rows(mel, rows)
 
     return mel[:, None, :, :]

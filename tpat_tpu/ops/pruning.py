@@ -60,6 +60,36 @@ def topk_select(scores: jnp.ndarray, k: int) -> jnp.ndarray:
     return idx
 
 
+def onehot_take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row selection as a one-hot matmul — the MXU form of
+    ``take_along_axis(x, idx[..., None], axis=1)``.
+
+    Bit-exact: every output element has exactly ONE nonzero product
+    (1.0 * x), so matmul accumulation (including the f32 bf16x3 split)
+    introduces no rounding; the backward contraction is the transposed
+    matmul, i.e. an exact scatter-add.
+    """
+    n = x.shape[1]
+    onehot = (idx[:, :, None] == jnp.arange(n)[None, None, :]).astype(x.dtype)
+    return jnp.einsum("bkn,bnc->bkc", onehot, x)
+
+
+def take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``take_along_axis(x, idx[..., None], axis=1)`` for (B, N, C) tokens.
+
+    On TPU the selection runs as ``onehot_take_rows``: XLA's gather
+    lowering measured 0.40 ms at the ViT-B block-3 pruning shape
+    (B=128, N=257, k=180, C=768) vs 0.15 ms for the one-hot matmul — and
+    the gather's backward is a scatter-add where the one-hot backward is
+    another matmul (scripts/probe_gather_variants.py).  Elsewhere (CPU
+    tests) the O(N*k*C) FLOPs are pointless and the plain gather is used;
+    the two forms are bit-identical (see ``onehot_take_rows``).
+    """
+    if jax.default_backend() != "tpu":
+        return jnp.take_along_axis(x, idx[..., None], axis=1)
+    return onehot_take_rows(x, idx)
+
+
 def gather_tokens(
     x: jnp.ndarray, idx: jnp.ndarray, num_extra_tokens: int
 ) -> jnp.ndarray:
@@ -71,7 +101,7 @@ def gather_tokens(
     Mirrors ``models_vit.py:200-203`` /  ``ast_models.py:212-215``.
     """
     extras = x[:, :num_extra_tokens]
-    patches = jnp.take_along_axis(x[:, num_extra_tokens:], idx[..., None], axis=1)
+    patches = take_rows(x[:, num_extra_tokens:], idx)
     return jnp.concatenate([extras, patches], axis=1)
 
 
