@@ -1,0 +1,94 @@
+"""Probe 4: GELU epilogue cost — exact erf vs cheap equivalents.
+
+probe_forward_budget.py measured the exact-erf GELU adding ~1.0 ms per
+fc1 at full width (8.3 ms per forward, 22% of the headline).  Candidates
+at (M=128*257, N=3072) bf16:
+
+  mm            x@W floor
+  gelu_exact    jax.nn.gelu approximate=False (erf)
+  gelu_tanh     jax.nn.gelu approximate=True
+  gelu_poly     0.5 + x*P8(x^2) normal-CDF polynomial (max abs err
+                1.3e-4 -> at most one-ulp bf16 flips; see
+                ops/fast_gelu.py)
+
+Hoist-proof loop harness (carry threaded into input, null floor).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from tpat_tpu.ops.fast_gelu import gelu_poly
+
+M, K, N = 128 * 257, 768, 3072
+ITERS = 100
+FLOOR = [0.0]
+
+
+def bench(name, fn, x0, *rest, is_floor=False):
+    @jax.jit
+    def run(x0, *rest):
+        def body(_, acc):
+            xp = (x0.astype(jnp.float32) + acc * 1e-38).astype(x0.dtype)
+            return acc + jnp.sum(fn(xp, *rest).astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    float(run(x0, *rest))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(run(x0, *rest))
+        best = min(best, (time.time() - t0) / ITERS * 1000)
+    tag = "(floor)" if is_floor else f"(raw {best:7.3f})"
+    if is_floor:
+        FLOOR[0] = best
+        print(f"{name:28s} {best:7.3f} ms   {tag}")
+    else:
+        print(f"{name:28s} {best - FLOOR[0]:7.3f} ms   {tag}")
+    return best
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    gen = jax.jit(
+        lambda k: (
+            jax.random.normal(jax.random.fold_in(k, 0), (M, K), jnp.bfloat16),
+            jax.random.normal(jax.random.fold_in(k, 1), (K, N), jnp.bfloat16) * 0.05,
+        )
+    )
+    x, w = gen(key)
+    float(jnp.sum(x))
+
+    bench("null (floor)", lambda x: x[:2, :2], x, is_floor=True)
+    bench("mm", lambda x, w: jnp.dot(x, w), x, w)
+    bench(
+        "gelu_exact(mm)",
+        lambda x, w: jax.nn.gelu(jnp.dot(x, w), approximate=False), x, w,
+    )
+    bench(
+        "gelu_tanh(mm)",
+        lambda x, w: jax.nn.gelu(jnp.dot(x, w), approximate=True), x, w,
+    )
+    bench("gelu_poly(mm)", lambda x, w: gelu_poly(jnp.dot(x, w)), x, w)
+
+    # accuracy spot check on-device
+    h = jnp.dot(x[:256], w)
+    exact = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
+    poly = gelu_poly(h).astype(jnp.float32)
+    print("poly vs exact: max abs diff (f32 in):",
+          float(jnp.max(jnp.abs(exact - poly))))
+    hb = h.astype(jnp.bfloat16)
+    eb = jax.nn.gelu(hb, approximate=False)
+    pb = gelu_poly(hb)
+    frac = float(jnp.mean((eb != pb).astype(jnp.float32)))
+    print("bf16 one-ulp flip fraction:", frac)
+
+
+if __name__ == "__main__":
+    main()

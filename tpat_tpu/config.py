@@ -124,6 +124,14 @@ class ViTConfig:
     # fallback on the target chip, kept as an explicit opt-in probe; see
     # docs/BENCH_NOTES.md "ViT-H lane padding").
     attention_impl: str = "fused"
+    # GELU implementation for the MLP epilogues: 'auto' (the degree-8
+    # normal-CDF polynomial, ops/fast_gelu.py, when the compute dtype is
+    # bfloat16 — at most one-ulp bf16 deviations and MORE accurate than
+    # XLA's bf16-native erf, at ~1/12 the VPU cost: the exact-erf
+    # epilogue measured 8.3 ms = 22% of the headline eval forward;
+    # float32 compute keeps exact erf), 'exact' (erf always), or 'poly'
+    # (polynomial always).  See docs/BENCH_NOTES.md "GELU epilogue".
+    gelu_impl: str = "auto"
     # Dense/conv weight init for from-scratch training: 'trunc_normal'
     # (timm/finetune trunk default) or 'xavier_uniform' (the MAE
     # pretraining init, models_mae.py:157-177 — xavier on every Linear and
@@ -136,6 +144,11 @@ class ViTConfig:
                 "attn_drop_rate is not implemented (all reference configs "
                 "use 0.0, models_vit.py:93); got "
                 f"{self.attn_drop_rate}"
+            )
+        if self.gelu_impl not in ("auto", "exact", "poly"):
+            raise ValueError(
+                f"gelu_impl must be 'auto', 'exact', or 'poly', "
+                f"got {self.gelu_impl!r}"
             )
         if self.dense_init not in ("trunc_normal", "xavier_uniform"):
             raise ValueError(

@@ -103,12 +103,25 @@ class Mlp(nn.Module):
     drop_rate: float
     dtype: Any
     kernel_init: Any = _trunc02
+    # 'auto': polynomial GELU (ops/fast_gelu.py) when the activation is
+    # bfloat16 — one-ulp-max deviations, more accurate than XLA's
+    # bf16-native erf, ~1/12 the VPU cost (the erf epilogue measured 22%
+    # of the headline eval forward); exact erf for float32.
+    gelu_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1",
                      kernel_init=self.kernel_init)(x)
-        x = nn.gelu(x, approximate=False)
+        use_poly = self.gelu_impl == "poly" or (
+            self.gelu_impl == "auto" and x.dtype == jnp.bfloat16
+        )
+        if use_poly:
+            from tpat_tpu.ops.fast_gelu import gelu_poly
+
+            x = gelu_poly(x)
+        else:
+            x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2",
                      kernel_init=self.kernel_init)(x)
@@ -265,6 +278,7 @@ class Block(nn.Module):
             drop_rate=cfg.drop_rate,
             dtype=_dtype(cfg),
             kernel_init=_kinit(cfg),
+            gelu_impl=cfg.gelu_impl,
         )
 
     def _residual(self, x, branch, deterministic):
