@@ -128,7 +128,10 @@ def _qkv_kernel(
                 logits = jnp.where(kmask, logits, -1e30)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            # reciprocal-multiply instead of an (n, n) broadcast divide:
+            # VPU division is multi-cycle per element, the reciprocal is
+            # only (n, 1)
+            p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
             o_ref[b, :, sl] = jnp.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32
             ).astype(o_ref.dtype)
@@ -301,7 +304,10 @@ def _qkv_bwd_kernel(
                 logits = jnp.where(kmask, logits, -1e30)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            # reciprocal-multiply instead of an (n, n) broadcast divide:
+            # VPU division is multi-cycle per element, the reciprocal is
+            # only (n, 1)
+            p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
 
             dp = jax.lax.dot_general(
                 do, v,
