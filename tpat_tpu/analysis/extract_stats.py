@@ -168,7 +168,7 @@ def retained_token_analyze(feature_dict_path: str, output_dir=None) -> int:
     return count
 
 
-def get_args():
+def get_args(argv=None):
     p = argparse.ArgumentParser(description="Extract stats from features")
     p.add_argument("--feature_dict_path", type=str, required=True)
     p.add_argument("--output_dir", type=str, default=".")
@@ -178,11 +178,11 @@ def get_args():
     p.add_argument("--kendall_rank_std", action="store_true")
     p.add_argument("--retained_token_visualize", action="store_true")
     p.add_argument("--retained_token_analyze", action="store_true")
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
-if __name__ == "__main__":
-    args = get_args()
+def main(argv=None):
+    args = get_args(argv)
     if args.visualize_mask:
         visualize_mask(args.feature_dict_path, args.output_dir)
     elif args.kendall_rank_mean:
@@ -197,3 +197,7 @@ if __name__ == "__main__":
         retained_token_analyze(args.feature_dict_path)
     else:
         raise ValueError("Invalid argument")
+
+
+if __name__ == "__main__":
+    main()

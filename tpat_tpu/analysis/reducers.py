@@ -102,7 +102,7 @@ def draw_kendall_graph(json_path: str, title: str = "", out_path: Optional[str] 
     return out_path
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser(description="Average experiment scores")
     p.add_argument("root_directories", nargs="+")
     p.add_argument("--pattern", default="best-")
@@ -112,7 +112,7 @@ def main():
                    help="treat the positional paths as kendall-tau JSON "
                         "files and render the 12-block line chart "
                         "(stats/draw_kendall_graph.py equivalent)")
-    args = p.parse_args()
+    args = p.parse_args(argv)
     for root in args.root_directories:
         if args.kendall_plot:
             print(f"wrote {draw_kendall_graph(root)}")

@@ -23,10 +23,10 @@ def create_csv(out: str = "voxceleb1_label.csv", n: int = 1252) -> str:
     return out
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="voxceleb1_label.csv")
-    args = p.parse_args()
+    args = p.parse_args(argv)
     path = create_csv(args.out)
     print(f"wrote {path}")
 

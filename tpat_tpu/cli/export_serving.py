@@ -99,5 +99,10 @@ def main(args):
     return out
 
 
+def cli(argv=None):
+    """Console-script entry point (``tpat-export-serving``)."""
+    main(get_parser().parse_args(argv))
+
+
 if __name__ == "__main__":
-    main(get_parser().parse_args())
+    cli()

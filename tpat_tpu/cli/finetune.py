@@ -658,6 +658,16 @@ def main(args):
                 f.write(f"{keeper.best_score:.4f}")
 
 
+def cli(argv=None):
+    """Console-script entry point (``tpat-finetune``).
+
+    ``get_args_parser`` is ``add_help=False`` (composable, like the
+    reference's ``main_finetune.get_args_parser``); wrap it so the
+    installed script still answers ``--help``.
+    """
+    parser = argparse.ArgumentParser("tpat-finetune", parents=[get_args_parser()])
+    main(parser.parse_args(argv))
+
+
 if __name__ == "__main__":
-    parser = get_args_parser()
-    main(parser.parse_args())
+    cli()

@@ -250,5 +250,15 @@ def main(args):
     print(f"pretraining done in {time.time() - t0:.1f}s")
 
 
+def cli(argv=None):
+    """Console-script entry point (``tpat-pretrain``).
+
+    ``get_args_parser`` is ``add_help=False`` (composable); wrap it so
+    the installed script still answers ``--help``.
+    """
+    parser = argparse.ArgumentParser("tpat-pretrain", parents=[get_args_parser()])
+    main(parser.parse_args(argv))
+
+
 if __name__ == "__main__":
-    main(get_args_parser().parse_args())
+    cli()

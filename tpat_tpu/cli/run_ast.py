@@ -441,5 +441,10 @@ def main(args):
     return keeper.best_score
 
 
+def cli(argv=None):
+    """Console-script entry point (``tpat-run-ast``)."""
+    main(get_parser().parse_args(argv))
+
+
 if __name__ == "__main__":
-    main(get_parser().parse_args())
+    cli()
