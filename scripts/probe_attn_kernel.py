@@ -1,13 +1,12 @@
 """Probe 5: fused attention kernel micro-cost at the headline widths.
 
-Hoist-proof loop harness (see probe_gather_variants.py).  Run before and
+Timed through the shared hoist-proof harness (scripts/_bench.py).  Run before and
 after kernel tweaks to measure them in isolation; pair with bench.py for
 the end-to-end confirmation.
 """
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -15,38 +14,11 @@ import jax
 import jax.numpy as jnp
 
 from tpat_tpu.ops.pallas_attention import fused_qkv_attention
+from _bench import Bench
 
 B, C, H = 128, 768, 12
-ITERS = 200
-FLOOR = [0.0]
 
-
-def bench(name, fn, x0, *rest, is_floor=False):
-    @jax.jit
-    def run(x0, *rest):
-        def body(_, acc):
-            xp = (x0.astype(jnp.float32) + acc * 1e-38).astype(x0.dtype)
-            out = fn(xp, *rest)
-            if isinstance(out, tuple):
-                out = sum(jnp.sum(o.astype(jnp.float32)) for o in out if o is not None)
-            else:
-                out = jnp.sum(out.astype(jnp.float32))
-            return acc + out
-
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
-
-    float(run(x0, *rest))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(run(x0, *rest))
-        best = min(best, (time.time() - t0) / ITERS * 1000)
-    if is_floor:
-        FLOOR[0] = best
-        print(f"{name:34s} {best:7.3f} ms   (floor)")
-    else:
-        print(f"{name:34s} {best - FLOOR[0]:7.3f} ms   (raw {best:7.3f})")
-    return best
+bench = Bench(iters=200, name_width=34)
 
 
 def main():
@@ -70,7 +42,10 @@ def main():
 
                 return jax.grad(loss)(q)
 
-            bench(f"[w={w}] attn fwd+bwd (b{bt})", fwd_bwd, qkv)
+            # jax.grad of sum(out) DCEs the forward pallas_call (its
+            # value is unused by the cotangent) — this row times the
+            # BACKWARD KERNEL ALONE, same caveat as probe_attn_widths.py
+            bench(f"[w={w}] attn bwd kernel (b{bt})", fwd_bwd, qkv)
 
 
 if __name__ == "__main__":

@@ -17,7 +17,6 @@ WRONG-math variants only bound how much there is to win.
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,6 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from _bench import Bench
 from tpat_tpu.ops.pallas_attention import (
     LANES,
     _batch_group,
@@ -34,9 +34,9 @@ from tpat_tpu.ops.pallas_attention import (
 
 B, C, H = 128, 768, 12
 D = C // H
-ITERS = 200
-FLOOR = [0.0]
 LOG2E = 1.4426950408889634
+
+bench = Bench(iters=200, name_width=36)
 
 
 def _variant_kernel(
@@ -122,36 +122,6 @@ def variant_attention(qkv, variant):
         ],
     )(qkv, qkv, qkv)
     return out, colsum
-
-
-def bench(name, fn, x0, is_floor=False):
-    @jax.jit
-    def run(x0):
-        def body(_, acc):
-            xp = (x0.astype(jnp.float32) + acc * 1e-38).astype(x0.dtype)
-            out = fn(xp)
-            if isinstance(out, tuple):
-                out = sum(
-                    jnp.sum(o.astype(jnp.float32)) for o in out if o is not None
-                )
-            else:
-                out = jnp.sum(out.astype(jnp.float32))
-            return acc + out
-
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
-
-    float(run(x0))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(run(x0))
-        best = min(best, (time.time() - t0) / ITERS * 1000)
-    if is_floor:
-        FLOOR[0] = best
-        print(f"{name:36s} {best:7.3f} ms   (floor)")
-    else:
-        print(f"{name:36s} {best - FLOOR[0]:7.3f} ms   (raw {best:7.3f})")
-    return best
 
 
 def main():

@@ -11,7 +11,6 @@ measured full forward to validate the attribution.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -19,40 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from tpat_tpu.ops.pallas_attention import fused_qkv_attention
+from _bench import Bench
 
 B, C, H = 128, 768, 12
-ITERS = 100
-FLOOR = [0.0]
 # (width, n_blocks, n_score_blocks) — blocks 3/6/9 need scores
 WIDTHS = [(257, 4, 1), (181, 3, 1), (127, 3, 1), (90, 2, 0)]
 
-
-def bench(name, fn, x0, *rest, is_floor=False, quiet=False):
-    @jax.jit
-    def run(x0, *rest):
-        def body(_, acc):
-            xp = (x0.astype(jnp.float32) + acc * 1e-38).astype(x0.dtype)
-            out = fn(xp, *rest)
-            if isinstance(out, tuple):
-                out = out[0]
-            return acc + jnp.sum(out.astype(jnp.float32))
-
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
-
-    float(run(x0, *rest))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(run(x0, *rest))
-        best = min(best, (time.time() - t0) / ITERS * 1000)
-    if is_floor:
-        FLOOR[0] = best
-        if not quiet:
-            print(f"{name:36s} {best:7.3f} ms   (floor)")
-        return best
-    if not quiet:
-        print(f"{name:36s} {best - FLOOR[0]:7.3f} ms   (raw {best:7.3f})")
-    return best - FLOOR[0]
+bench = Bench(iters=100, name_width=36)
 
 
 def main():

@@ -5,10 +5,9 @@ does not depend on the loop carry gets its body HOISTED by XLA's
 loop-invariant code motion — the "loop" then measures one op execution
 plus the relay round-trip divided by ITERS, which is why a first version
 of this probe read EVERY op (topk, gather, one-hot, LN, matmul) in the
-same ~1.1-1.3 ms band.  Here the carry is folded into the op input
-(``x + acc * 1e-38`` — a bit-exact no-op on O(1) data that XLA cannot
-fold away), a null body calibrates the remaining floor, and each op is
-reported floor-subtracted, best of 3.
+same ~1.1-1.3 ms band.  The shared ``scripts/_bench.py`` harness folds
+the carry into the op input and floor-subtracts a null body; every probe
+script times through it.
 
 Shapes: block-3 pruning at the headline config
 (B=128, N=257, P=256, k=180, C=768, bf16 tokens, f32 scores), plus the
@@ -17,44 +16,17 @@ LN-probe anchors re-measured under the fixed harness.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
+from _bench import Bench
 from tpat_tpu.ops import pruning
 
 B, N, P, K, C = 128, 257, 256, 180, 768
-ITERS = 200
-FLOOR = [0.0]
-
-
-def bench(name, fn, x0, *rest, is_floor=False):
-    """fn(x0, *rest) -> array; x0 is perturbed by the loop carry so the
-    body cannot be hoisted out of the loop."""
-
-    @jax.jit
-    def run(x0, *rest):
-        def body(_, acc):
-            xp = (x0.astype(jnp.float32) + acc * 1e-38).astype(x0.dtype)
-            return acc + jnp.sum(fn(xp, *rest).astype(jnp.float32))
-
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
-
-    float(run(x0, *rest))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(run(x0, *rest))
-        best = min(best, (time.time() - t0) / ITERS * 1000)
-    if is_floor:
-        FLOOR[0] = best
-        print(f"{name:28s} {best:7.3f} ms   (floor)")
-    else:
-        print(f"{name:28s} {best - FLOOR[0]:7.3f} ms   (raw {best:7.3f})")
-    return best
+bench = Bench(iters=200, name_width=28)
 
 
 def onehot_gather(x, idx, e):

@@ -16,7 +16,6 @@ Hoist-proof loop harness (carry threaded into input, null floor).
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -24,34 +23,12 @@ import jax
 import jax.numpy as jnp
 
 from tpat_tpu.ops.fast_gelu import gelu_poly
+from _bench import Bench
 
 M, K, N = 128 * 257, 768, 3072
-ITERS = 100
-FLOOR = [0.0]
 
 
-def bench(name, fn, x0, *rest, is_floor=False):
-    @jax.jit
-    def run(x0, *rest):
-        def body(_, acc):
-            xp = (x0.astype(jnp.float32) + acc * 1e-38).astype(x0.dtype)
-            return acc + jnp.sum(fn(xp, *rest).astype(jnp.float32))
-
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
-
-    float(run(x0, *rest))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(run(x0, *rest))
-        best = min(best, (time.time() - t0) / ITERS * 1000)
-    tag = "(floor)" if is_floor else f"(raw {best:7.3f})"
-    if is_floor:
-        FLOOR[0] = best
-        print(f"{name:28s} {best:7.3f} ms   {tag}")
-    else:
-        print(f"{name:28s} {best - FLOOR[0]:7.3f} ms   {tag}")
-    return best
+bench = Bench(iters=100, name_width=28)
 
 
 def main():

@@ -15,7 +15,6 @@ generated on device; >=20 calls per fetch.
 """
 
 import functools
-import time
 
 import jax
 import jax.numpy as jnp
@@ -23,9 +22,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from _bench import Bench
+
 M, K, N = 128 * 257, 768, 2304
 EPS = 1e-6
-ITERS = 200
+
+bench = Bench(iters=200, name_width=28)
 
 
 def ln(x, g, b):
@@ -69,39 +71,6 @@ def ln_matmul(x, g, b, w, bm=256, bn=768):
             dimension_semantics=("parallel", "parallel")
         ),
     )(x, g.reshape(1, k), b.reshape(1, k), w)
-
-
-FLOOR = [0.0]
-
-
-def bench(name, fn, *args, is_floor=False):
-    """Time ITERS applications inside ONE jitted fori_loop so the relay's
-    per-dispatch latency (tens of ms here) is paid once, not per call.
-    The FIRST argument is perturbed by the loop carry (a bit-exact no-op
-    on O(1) data) — without this, XLA's loop-invariant code motion hoists
-    the whole body out of the loop and every op reads as (round-trip /
-    ITERS); a null body calibrates the remaining floor."""
-
-    @jax.jit
-    def run(x0, *rest):
-        def body(_, acc):
-            xp = (x0.astype(jnp.float32) + acc * 1e-38).astype(x0.dtype)
-            return acc + jnp.sum(fn(xp, *rest).astype(jnp.float32))
-
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
-
-    float(run(*args))  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(run(*args))
-        best = min(best, (time.time() - t0) / ITERS * 1000)
-    if is_floor:
-        FLOOR[0] = best
-        print(f"{name:28s} {best:7.3f} ms   (floor)")
-    else:
-        print(f"{name:28s} {best - FLOOR[0]:7.3f} ms   (raw {best:7.3f})")
-    return best - FLOOR[0]
 
 
 def main():

@@ -8,41 +8,28 @@ block, `top_k` over the (B, P) scores plus the descending-score token
 gather of the (B, N, C) sequence — exactly what `ops/pruning.topk_select`
 + `gather_tokens` run — and, for scale, one block's qkv matmul.
 
-Timing per CLAUDE.md: 20 iterations inside one jitted fori_loop, one
-scalar fetch per measurement (per-dispatch relay latency is ~20-60 ms).
+Timed through the shared hoist-proof harness (scripts/_bench.py): the
+loop carry is threaded into the token tensor and a per-stage null-body
+floor is subtracted — a first version of this probe lacked both and
+read every stage at the same (relay round-trip / iters) band.
 """
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
+from _bench import Bench
 from tpat_tpu.ops import pruning
 
 B, C = 128, 768
-ITERS = 20
 # (tokens_in, patches_in, kept) at drop blocks 3/6/9, keep 0.7, P=256
 STAGES = [(257, 256, 180), (181, 180, 126), (127, 126, 89)]
 
-
-def bench(name, fn, *args):
-    @jax.jit
-    def run(*a):
-        def body(_, acc):
-            return acc + jnp.sum(fn(*a).astype(jnp.float32))
-
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
-
-    float(run(*args))  # compile + warm
-    t0 = time.time()
-    float(run(*args))
-    dt = (time.time() - t0) / ITERS * 1000
-    print(f"{name:34s} {dt:7.3f} ms")
-    return dt
+bench = Bench(iters=200, name_width=34)
 
 
 def main():
@@ -62,6 +49,8 @@ def main():
             idx = pruning.topk_select(scores, k)
             return pruning.gather_tokens(x, idx, 1)
 
+        bench(f"null ({n} tokens, floor)", lambda x: x[:2, :2, 0], x,
+              is_floor=True)
         total += bench(f"topk+gather ({n}->{k + 1})", prune, x, scores)
     print(f"{'total (3 pruning blocks)':34s} {total:7.3f} ms")
 
@@ -75,6 +64,7 @@ def main():
     )
     xw, w = genw(key)
     float(jnp.sum(xw))
+    bench("null (anchor floor)", lambda a: a[:2, :2], xw, is_floor=True)
     bench("anchor: qkv matmul (257 tokens)", lambda a, b: jnp.dot(a, b), xw, w)
 
 

@@ -18,11 +18,34 @@ import sys
 
 from setuptools import setup
 from setuptools.command.build_py import build_py
+from setuptools.dist import Distribution
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "native", "csrc", "tpat_audio.cpp")
+
+
+def _will_embed_native() -> bool:
+    """True when the build intends to embed the compiled .so.
+
+    Decided up front (source present + compiler present + not skipped) so
+    the wheel tag can be chosen before build_py runs: a wheel carrying a
+    platform-specific ELF must NOT be tagged py3-none-any, or pip will
+    happily install the dead .so on another platform.
+    """
+    if os.environ.get("TPAT_SKIP_NATIVE") == "1":
+        return False
+    if not os.path.exists(_SRC):  # building from a partial sdist
+        return False
+    return shutil.which(os.environ.get("CXX", "g++")) is not None
+
+
+class _NativeDistribution(Distribution):
+    def has_ext_modules(self):  # drives bdist_wheel's root_is_pure
+        return _will_embed_native()
 
 
 def _compile_native(out_path: str) -> bool:
-    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "native", "csrc", "tpat_audio.cpp")
+    src = _SRC
     if not os.path.exists(src):  # building from a partial sdist
         return False
     cxx = os.environ.get("CXX", "g++")
@@ -53,4 +76,7 @@ class build_py_with_native(build_py):
             print(f"tpat-tpu: built native frontend -> {out}")
 
 
-setup(cmdclass={"build_py": build_py_with_native})
+setup(
+    cmdclass={"build_py": build_py_with_native},
+    distclass=_NativeDistribution,
+)

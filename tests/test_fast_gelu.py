@@ -88,3 +88,33 @@ def test_mlp_gelu_dtype_gating(rng):
         outs[("bfloat16", "auto")], outs[("bfloat16", "exact")],
         rtol=3e-2, atol=3e-2,
     )
+
+
+def test_mae_gelu_impl_plumbed(rng):
+    """MAEConfig.gelu_impl reaches every Mlp in the model — encoder
+    Blocks AND the swin decoder's SwinBlock MLPs: under bf16,
+    'exact' must change the loss vs 'poly' (the escape hatch works),
+    while f32 'auto' equals f32 'exact' bit-for-bit."""
+    from tpat_tpu.models.mae import MAEConfig, MaskedAutoencoderViT
+
+    x = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+
+    def loss(dtype, impl):
+        cfg = MAEConfig(
+            embed_dim=64, depth=2, num_heads=2,
+            decoder_embed_dim=32, decoder_num_heads=2, decoder_depth=2,
+            target_length=64, num_mel_bins=32, window_size=(2, 2),
+            decoder_mode=1, compute_dtype=dtype, gelu_impl=impl,
+        )
+        model = MaskedAutoencoderViT(cfg)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+            x, 0.75,
+        )
+        out = model.apply(
+            variables, x, 0.75, rngs={"masking": jax.random.PRNGKey(2)}
+        )
+        return np.asarray(out[0], np.float32)
+
+    assert loss("float32", "auto") == loss("float32", "exact")
+    assert loss("bfloat16", "exact") != loss("bfloat16", "poly")

@@ -8,9 +8,13 @@ package list matches the source tree, and the version is single-sourced.
 
 import importlib
 import os
-import tomllib
 
 import pytest
+
+try:
+    import tomllib  # stdlib on 3.11+
+except ModuleNotFoundError:  # pragma: no cover - 3.10 (requires-python >= 3.10)
+    tomllib = pytest.importorskip("tomli")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

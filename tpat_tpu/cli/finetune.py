@@ -50,6 +50,11 @@ def get_args_parser():
         "--compute_dtype", default="bfloat16",
         choices=["bfloat16", "float32"],
     )
+    # escape hatch for the polynomial bf16 GELU (ops/fast_gelu.py):
+    # 'exact' forces erf even under bfloat16
+    p.add_argument(
+        "--gelu_impl", default="auto", choices=["auto", "exact", "poly"],
+    )
     # jax.profiler trace of one training epoch (TPU-native replacement
     # for the reference's torch.cuda wall-clock meters, SURVEY §5)
     p.add_argument("--profile_dir", default=None, type=str)
@@ -196,6 +201,7 @@ def build_everything(args):
         drop_loc=drop_loc,
         base_keep_rate=args.base_keep_rate,
         compute_dtype=args.compute_dtype,
+        gelu_impl=args.gelu_impl,
     )
     model = AudioViT(model_cfg)
 

@@ -54,6 +54,11 @@ def get_args_parser():
         "--compute_dtype", default="bfloat16",
         choices=["bfloat16", "float32"],
     )
+    # escape hatch for the polynomial bf16 GELU (ops/fast_gelu.py):
+    # 'exact' forces erf even under bfloat16
+    p.add_argument(
+        "--gelu_impl", default="auto", choices=["auto", "exact", "poly"],
+    )
     p.add_argument("--resume", default="",
                    help="orbax checkpoint dir to resume from, or a "
                         "reference-layout full-MAE .pth to continue "
@@ -120,6 +125,7 @@ def main(args):
         mask_t_prob=args.mask_t_prob,
         mask_f_prob=args.mask_f_prob,
         compute_dtype=args.compute_dtype,
+        gelu_impl=args.gelu_impl,
     )
     if args.model == "mae_vit_base":
         cfg = mae_vit_base_dec512d8b(**common)

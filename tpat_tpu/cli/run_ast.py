@@ -83,6 +83,11 @@ def get_parser():
         "--compute_dtype", default="bfloat16",
         choices=["bfloat16", "float32"],
     )
+    # escape hatch for the polynomial bf16 GELU (ops/fast_gelu.py):
+    # 'exact' forces erf even under bfloat16
+    p.add_argument(
+        "--gelu_impl", default="auto", choices=["auto", "exact", "poly"],
+    )
     return p
 
 
@@ -153,6 +158,7 @@ def main(args):
         drop_loc=drop_loc,
         base_keep_rate=args.base_keep_rate,
         compute_dtype=args.compute_dtype,
+        gelu_impl=args.gelu_impl,
     )
     if args.model_size == "tiny_debug":  # smoke-test scale, not in reference
         model_cfg = dataclasses.replace(

@@ -78,6 +78,12 @@ class MAEConfig:
     # N=512); 'fused'/'banded' force those kernels, 'xla' forces the
     # reference-shaped lowering.
     window_attention_impl: str = "auto"
+    # GELU implementation for every Mlp in the model (encoder Blocks,
+    # swin decoder blocks, transformer decoder blocks).  Same semantics
+    # as ViTConfig.gelu_impl: 'auto' uses the polynomial normal-CDF fit
+    # (ops/fast_gelu.py) when the compute dtype is bfloat16, 'exact'
+    # forces erf, 'poly' forces the polynomial.
+    gelu_impl: str = "auto"
     # models_mae.py:33,55,69 — the sin-cos pos embeds are nn.Parameters
     # with requires_grad=pos_trainable, default False: frozen throughout
     # pretraining (gradient stopped in the forward; the driver also
@@ -108,6 +114,7 @@ class MAEConfig:
             base_keep_rate=1.0,
             drop_path_rate=0.0,
             compute_dtype=self.compute_dtype,
+            gelu_impl=self.gelu_impl,
             dense_init="xavier_uniform",  # models_mae.py:170-173
         )
 
@@ -123,6 +130,7 @@ class MAEConfig:
             base_keep_rate=1.0,
             drop_path_rate=0.0,
             compute_dtype=self.compute_dtype,
+            gelu_impl=self.gelu_impl,
             dense_init="xavier_uniform",  # models_mae.py:170-173
         )
 
@@ -309,6 +317,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    gelu_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -370,7 +379,7 @@ class SwinBlock(nn.Module):
         )
 
         h = Mlp(int(d * self.mlp_ratio), d, 0.0, self.dtype,
-                kernel_init=_xavier, name="mlp")(x)
+                gelu_impl=self.gelu_impl, kernel_init=_xavier, name="mlp")(x)
         return x + nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
 
 
@@ -414,6 +423,7 @@ class MaskedAutoencoderViT(nn.Module):
                     shift=(0, 0) if i % 2 == 0 else (2, 0),
                     mlp_ratio=cfg.mlp_ratio,
                     attn_impl=cfg.window_attention_impl,
+                    gelu_impl=cfg.gelu_impl,
                     dtype=cdtype,
                     name=f"decoder_blocks_{i}",
                 )
