@@ -346,6 +346,16 @@ def test_keeper_tie_semantics(tmp_path):
         first.update(sc, S(), ep)
     assert first.best_epoch == 1
 
+    # non-main ranks track the (identical, collective) score without
+    # writing: best_score must match the writing keeper, scratch stays
+    # empty — otherwise run_ast's non-main return value reads -inf
+    tracker = BestCheckpointKeeper(str(tmp_path / "e"), str(tmp_path / "f"))
+    for ep, sc in [(1, 0.5), (2, 0.5), (3, 0.4)]:
+        tracker.track(sc, ep)
+    assert (tracker.best_score, tracker.best_epoch) == (
+        last.best_score, last.best_epoch)
+    assert os.listdir(tmp_path / "e") == []
+
 
 def test_run_ast_eval_requires_checkpoint(corpus, tmp_path):
     """--eval on a missing best checkpoint fails loudly (run.py:258), not

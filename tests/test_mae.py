@@ -451,3 +451,17 @@ def test_mae_bfloat16_pretrain_step(rng):
         for x in jax.tree_util.tree_leaves(g)
     )
     assert np.isfinite(gmax) and gmax > 0.0
+
+
+def test_mae_config_rejects_unknown_impls():
+    """A typo'd impl string must raise, not silently select the XLA
+    fallback (losing the fused-kernel pretrain speedup) or exact GELU."""
+    from tpat_tpu.models.mae import MAEConfig
+
+    MAEConfig()  # defaults valid
+    with pytest.raises(ValueError, match="window_attention_impl"):
+        MAEConfig(window_attention_impl="fuse")
+    with pytest.raises(ValueError, match="gelu_impl"):
+        MAEConfig(gelu_impl="fast")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        MAEConfig(compute_dtype="float16")

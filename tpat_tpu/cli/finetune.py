@@ -386,12 +386,18 @@ def load_params(args, model, model_cfg):
     return params
 
 
-def dist_eval_batches(ds_val, batch_size):
+def dist_eval_batches(ds_val, batch_size, num_workers=4):
     """Unpadded per-host eval shard (DistributedEvalSampler semantics,
     ``util/sampler.py:73-99``): rank-strided indices, no wrap padding, so
     gathered metrics are exact.  Every host is padded to the SAME dispatch
     count (rank 0 owns the largest shard) with n_valid=0 filler batches so
-    the SPMD eval steps stay collective-aligned across processes."""
+    the SPMD eval steps stay collective-aligned across processes.
+
+    Items are decoded on a thread pool (decode + fbank release the GIL,
+    same rationale as ``data/loader.py``) — a serial ``ds_val[i]`` loop
+    would add seconds-per-thousand-clips of host work to every eval."""
+    import concurrent.futures as cf
+
     import jax
 
     from tpat_tpu.data.sampler import eval_shard
@@ -400,15 +406,16 @@ def dist_eval_batches(ds_val, batch_size):
     idx = eval_shard(len(ds_val), world, rank)
     max_shard = -(-len(ds_val) // world)
     n_batches = -(-max_shard // batch_size)
-    for b in range(n_batches):
-        rows = idx[b * batch_size : (b + 1) * batch_size]
-        valid = len(rows)
-        if not rows:
-            rows = [idx[-1] if idx else 0]
-        items = [ds_val[i] for i in rows]
-        x = np.stack([it[0] for it in items])
-        y = np.stack([it[1] for it in items])
-        yield x, y[:valid], valid
+    with cf.ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        for b in range(n_batches):
+            rows = idx[b * batch_size : (b + 1) * batch_size]
+            valid = len(rows)
+            if not rows:
+                rows = [idx[-1] if idx else 0]
+            items = list(pool.map(ds_val.__getitem__, rows))
+            x = np.stack([it[0] for it in items])
+            y = np.stack([it[1] for it in items])
+            yield x, y[:valid], valid
 
 
 def _eval_once(
@@ -436,7 +443,10 @@ def _eval_once(
         )
     dist = args.dist_eval and jax.process_count() > 1
     if dist:
-        batches = dist_eval_batches(loader_val.dataset, args.batch_size)
+        batches = dist_eval_batches(
+            loader_val.dataset, args.batch_size,
+            num_workers=loader_val.num_workers,
+        )
     else:
         batches = ((x, y) for x, y, _ in loader_val)
     if args.dataset == "audioset":

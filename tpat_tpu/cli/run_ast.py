@@ -384,8 +384,14 @@ def main(args):
             np.savetxt(
                 os.path.join(args.exp_dir, "result.csv"), result, delimiter=","
             )
-        if is_main and epoch >= args.first_eval_epoch:
-            keeper.update(score, state, epoch)
+        if epoch >= args.first_eval_epoch:
+            if is_main:
+                keeper.update(score, state, epoch)
+            else:
+                # the collective eval computed the same score on every
+                # rank; track it so non-main progress rows and the
+                # non-main return value carry the real best, not -inf
+                keeper.track(score, epoch)
         progress.append(
             [epoch, epoch * len(loader_train), keeper.best_epoch,
              keeper.best_score, _time.time() - start_time]

@@ -90,6 +90,25 @@ class MAEConfig:
     # excludes them from weight decay).
     pos_trainable: bool = False
 
+    def __post_init__(self):
+        # an unrecognized impl string must fail loudly, not silently take
+        # the XLA fallback (giving up the fused-kernel pretrain speedup)
+        if self.window_attention_impl not in ("auto", "fused", "banded", "xla"):
+            raise ValueError(
+                "window_attention_impl must be 'auto', 'fused', 'banded', "
+                f"or 'xla', got {self.window_attention_impl!r}"
+            )
+        if self.gelu_impl not in ("auto", "exact", "poly"):
+            raise ValueError(
+                "gelu_impl must be 'auto', 'exact', or 'poly', "
+                f"got {self.gelu_impl!r}"
+            )
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "compute_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.compute_dtype!r}"
+            )
+
     @property
     def grid(self) -> Tuple[int, int]:
         return (

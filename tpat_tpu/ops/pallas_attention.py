@@ -676,7 +676,11 @@ def fused_qkv_attention_lane_padded(
     produce zeros that are sliced away.  The kernel scales logits by
     padded_dim**-0.5, so q is pre-multiplied by sqrt(128/head_dim) —
     composing to the true head_dim**-0.5 — instead of threading a scale
-    override through the custom_vjp.  Autodiff flows through the
+    override through the custom_vjp.  The multiply runs in f32 with the
+    exact scale so no systematic bias enters; the product then rounds
+    once to the compute dtype (the same numerics class as q itself —
+    under bf16 a bf16-rounded *scale factor* would instead bias every
+    logit by up to ~0.06%).  Autodiff flows through the
     pad/reshape/slice into the kernel's own VJP; no extra backward code.
 
     Costs 128/head_dim more attention FLOPs than a native-width kernel
@@ -687,8 +691,10 @@ def fused_qkv_attention_lane_padded(
     c = c3 // 3
     d = c // num_heads
     q3 = qkv.reshape(b, n, 3, num_heads, d)
-    scale_fix = jnp.asarray((LANES / d) ** 0.5, qkv.dtype)
-    q3 = jnp.concatenate([q3[:, :, :1] * scale_fix, q3[:, :, 1:]], axis=2)
+    q_scaled = (
+        q3[:, :, :1].astype(jnp.float32) * ((LANES / d) ** 0.5)
+    ).astype(qkv.dtype)
+    q3 = jnp.concatenate([q_scaled, q3[:, :, 1:]], axis=2)
     q3 = jnp.pad(q3, ((0, 0), (0, 0), (0, 0), (0, 0), (0, LANES - d)))
     packed = q3.reshape(b, n, 3 * num_heads * LANES)
     out, scores = fused_qkv_attention(packed, num_heads, mode, num_extra_tokens)

@@ -74,6 +74,10 @@ def onehot_take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bkn,bnc->bkc", onehot, x)
 
 
+def plain_take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
 def take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``take_along_axis(x, idx[..., None], axis=1)`` for (B, N, C) tokens.
 
@@ -84,10 +88,15 @@ def take_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     another matmul (scripts/probe_gather_variants.py).  Elsewhere (CPU
     tests) the O(N*k*C) FLOPs are pointless and the plain gather is used;
     the two forms are bit-identical (see ``onehot_take_rows``).
+
+    The choice is made per LOWERING PLATFORM (``lax.platform_dependent``),
+    not from ambient ``jax.default_backend()`` at trace time, so
+    cross-platform ``jax.export`` artifacts and deviceless AOT lowerings
+    each bake the variant that is right for the platform they target.
     """
-    if jax.default_backend() != "tpu":
-        return jnp.take_along_axis(x, idx[..., None], axis=1)
-    return onehot_take_rows(x, idx)
+    return jax.lax.platform_dependent(
+        x, idx, tpu=onehot_take_rows, default=plain_take_rows
+    )
 
 
 def gather_tokens(

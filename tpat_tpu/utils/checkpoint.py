@@ -88,18 +88,27 @@ class BestCheckpointKeeper:
             raise ValueError(f"ties must be 'last' or 'first', got {ties!r}")
         self.ties = ties
 
-    def update(self, score: float, state, epoch: int) -> bool:
-        """Tie semantics differ between the two reference drivers:
-        AudioMAE keeps the LAST epoch achieving >= max score
-        (main_finetune.py:548: ``max_score <= test_stats[metric]``),
-        AST keeps the FIRST (traintest.py:236-247: strict ``>``) —
-        select with ``ties``."""
+    def track(self, score: float, epoch: int) -> bool:
+        """Update best_score/best_epoch per the tie rule WITHOUT touching
+        disk — for non-main ranks that compute the same collective score
+        but must not write checkpoints (artifact writes are rank-0-gated);
+        without this they would report the initial -inf forever."""
         if score < self.best_score or (
             self.ties == "first" and score == self.best_score
         ):
             return False
         self.best_score = score
         self.best_epoch = epoch
+        return True
+
+    def update(self, score: float, state, epoch: int) -> bool:
+        """Tie semantics differ between the two reference drivers:
+        AudioMAE keeps the LAST epoch achieving >= max score
+        (main_finetune.py:548: ``max_score <= test_stats[metric]``),
+        AST keeps the FIRST (traintest.py:236-247: strict ``>``) —
+        select with ``ties``."""
+        if not self.track(score, epoch):
+            return False
         for old in os.listdir(self.scratch_dir):
             if old.startswith("checkpoint-"):
                 shutil.rmtree(
