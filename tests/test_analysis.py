@@ -276,6 +276,10 @@ def test_reducers(tmp_path):
         (d / f"best-00{fold}-{90 + fold}.0000.txt").touch()
     avg = reducers.average_scores(str(tmp_path))
     assert abs(avg - 91.0) < 1e-9
+    # rerun stability: the aggregate file written into the scanned tree
+    # must NOT be double-counted on a second run (the reference's
+    # average_esc50_score.py silently compounds here — deliberate fix)
+    assert abs(reducers.average_scores(str(tmp_path)) - 91.0) < 1e-9
     # kendall graph plot
     j = tmp_path / "k.json"
     json.dump({"ESC-50": list(np.linspace(0, 1, 12))}, open(j, "w"))

@@ -356,6 +356,15 @@ def test_keeper_tie_semantics(tmp_path):
         last.best_score, last.best_epoch)
     assert os.listdir(tmp_path / "e") == []
 
+    # a NaN score never becomes (or dethrones) the best — the reference's
+    # `max_score <= score` comparison is False for NaN (main_finetune:548)
+    nankeeper = BestCheckpointKeeper(str(tmp_path / "g"), str(tmp_path / "h"))
+    for ep, sc in [(1, 0.9), (2, float("nan")), (3, 0.3)]:
+        nankeeper.update(sc, S(), ep)
+    assert (nankeeper.best_score, nankeeper.best_epoch) == (0.9, 1)
+    # and the surviving scratch checkpoint is the real best's
+    assert os.listdir(tmp_path / "g") == ["checkpoint-001"]
+
 
 def test_run_ast_eval_requires_checkpoint(corpus, tmp_path):
     """--eval on a missing best checkpoint fails loudly (run.py:258), not

@@ -35,11 +35,20 @@ def score_from_marker_name(path: str) -> Optional[float]:
 def average_scores(root_dir: str, pattern: str = "best-") -> Optional[float]:
     """Walk the experiment tree and average matching score files.  Marker
     files (empty, score in the name) and result files (score in line 1)
-    are both handled."""
+    are both handled.
+
+    The aggregate this function itself writes (``{pattern}-{avg}.txt``)
+    is excluded from the scan: the reference
+    (average_esc50_score.py:57-59) writes the same file into the tree it
+    scans and silently double-counts it on every rerun — a compounding
+    bias, not a behavior worth porting."""
+    own_output = re.compile(rf"^{re.escape(pattern)}-\d+\.\d{{4}}\.txt$")
     total, count = 0.0, 0
     for dirpath, _dirs, files in os.walk(root_dir):
         for name in files:
             if name.startswith(pattern) and name.endswith(".txt"):
+                if own_output.match(name):
+                    continue  # a previous run's aggregate
                 path = os.path.join(dirpath, name)
                 score = score_from_marker_name(path)
                 if score is None:

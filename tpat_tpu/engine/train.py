@@ -264,9 +264,12 @@ class TrainModule:
                 "loss_sum": acc["loss_sum"] + loss,
                 "grad_norm_sum": acc["grad_norm_sum"]
                 + opt_lib.global_grad_norm(grads),
-                # last applied lr, from the optimizer's actual step counter
-                # (not recomputed on the host from loop indices, which can
-                # drift from state.step after resume / short epochs)
+                # the lr "in the param groups": the reference adjusts lr
+                # at accumulation-WINDOW START (engine_finetune.py:90-91),
+                # so mid-window its logged param-group lr is the PENDING
+                # update's — which is exactly lr_fn(step // accum).
+                # Derived from the optimizer's actual step counter, not
+                # host loop indices (which drift after resume).
                 "lr_last": self.lr_fn(
                     state.step // max(self.train_cfg.accum_iter, 1)
                 ),

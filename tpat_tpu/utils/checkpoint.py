@@ -92,10 +92,18 @@ class BestCheckpointKeeper:
         """Update best_score/best_epoch per the tie rule WITHOUT touching
         disk — for non-main ranks that compute the same collective score
         but must not write checkpoints (artifact writes are rank-0-gated);
-        without this they would report the initial -inf forever."""
-        if score < self.best_score or (
-            self.ties == "first" and score == self.best_score
-        ):
+        without this they would report the initial -inf forever.
+
+        Phrased as a positive comparison so a NaN score can never become
+        (or dethrone) the best: the reference's ``max_score <=
+        test_stats[metric]`` (main_finetune.py:548) likewise leaves
+        max_score untouched on NaN — the inverted-negation form
+        (``not (score < best)``) would instead let NaN in and then let
+        ANY later score replace it."""
+        improved = score > self.best_score or (
+            self.ties == "last" and score == self.best_score
+        )
+        if not improved:
             return False
         self.best_score = score
         self.best_epoch = epoch
@@ -106,19 +114,22 @@ class BestCheckpointKeeper:
         AudioMAE keeps the LAST epoch achieving >= max score
         (main_finetune.py:548: ``max_score <= test_stats[metric]``),
         AST keeps the FIRST (traintest.py:236-247: strict ``>``) —
-        select with ``ties``."""
+        select with ``ties``.
+
+        The new checkpoint is saved BEFORE the previous best is deleted:
+        a failed save (disk full, interrupt mid-write) must not lose both.
+        """
         if not self.track(score, epoch):
             return False
+        new_name = f"checkpoint-{epoch:03d}"
+        save_checkpoint(
+            os.path.join(self.scratch_dir, new_name), state, epoch
+        )
         for old in os.listdir(self.scratch_dir):
-            if old.startswith("checkpoint-"):
+            if old.startswith("checkpoint-") and old != new_name:
                 shutil.rmtree(
                     os.path.join(self.scratch_dir, old), ignore_errors=True
                 )
-        save_checkpoint(
-            os.path.join(self.scratch_dir, f"checkpoint-{epoch:03d}"),
-            state,
-            epoch,
-        )
         return True
 
     def finalize(self):
