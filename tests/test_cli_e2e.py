@@ -541,3 +541,69 @@ def test_run_ast_checkpoint_path_requires_flag(corpus, tmp_path):
     ]
     with pytest.raises(ValueError, match="audioset_pretrain"):
         main(get_parser().parse_args(argv))
+
+
+def test_dist_eval_batches_shard_semantics(monkeypatch):
+    """The multi-host eval generator: rank-strided unpadded shards, every
+    host padded to the SAME dispatch count with valid=0 filler batches,
+    partial batches trimmed via the valid count — covering the
+    collective-alignment logic no multi-process test can step through."""
+    import jax
+
+    from tpat_tpu.cli.finetune import dist_eval_batches
+
+    ds = [(np.full((2, 2), i, np.float32), np.float32(i), f"id{i}")
+          for i in range(5)]
+
+    def batches_for(rank, world):
+        monkeypatch.setattr(jax, "process_index", lambda: rank)
+        monkeypatch.setattr(jax, "process_count", lambda: world)
+        return list(dist_eval_batches(ds, batch_size=2))
+
+    r0 = batches_for(0, 2)  # shard [0, 2, 4]
+    r1 = batches_for(1, 2)  # shard [1, 3] + one filler batch
+    # both ranks dispatch the same number of batches (SPMD alignment)
+    assert len(r0) == len(r1) == 2
+    assert [v for _, _, v in r0] == [2, 1]
+    assert [v for _, _, v in r1] == [2, 0]
+    # y is trimmed to the valid rows; x rows beyond valid are filler
+    assert r0[1][1].shape == (1,)
+    assert r1[1][1].shape == (0,)
+    # every sample appears exactly once across ranks (unpadded, exact)
+    seen = sorted(
+        float(y) for batches in (r0, r1) for _, ys, _ in batches for y in ys
+    )
+    assert seen == [0.0, 1.0, 2.0, 3.0, 4.0]
+    # single process degenerates to a plain full pass
+    full = batches_for(0, 1)
+    assert [v for _, _, v in full] == [2, 2, 1]
+
+
+def test_prefetch_iter_propagates_and_stops():
+    """prefetch_iter yields in order, re-raises producer exceptions, and
+    an abandoned consumer stops the producer thread."""
+    import threading
+    import time as _t
+
+    from tpat_tpu.data.loader import prefetch_iter
+
+    assert list(prefetch_iter(iter(range(7)), prefetch=2)) == list(range(7))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer died")
+
+    it = prefetch_iter(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer died"):
+        next(it)
+
+    # abandonment: producer must unpark from a full queue and exit
+    n_started = threading.active_count()
+    gen = prefetch_iter(iter(range(10_000)), prefetch=1)
+    assert next(gen) == 0
+    gen.close()
+    deadline = _t.time() + 5.0
+    while threading.active_count() > n_started and _t.time() < deadline:
+        _t.sleep(0.05)
+    assert threading.active_count() <= n_started

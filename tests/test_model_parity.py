@@ -369,6 +369,13 @@ def test_attn_drop_rate_rejected():
             embed_dim=32, depth=1, num_heads=2, num_classes=3,
             target_length=64, num_mel_bins=32, attn_drop_rate=0.1,
         )
+    # jnp.dtype("float16") would parse, silently running an unsupported
+    # precision — fail loudly at config construction instead
+    with pytest.raises(ValueError, match="compute_dtype"):
+        ViTConfig(
+            embed_dim=32, depth=1, num_heads=2, num_classes=3,
+            target_length=64, num_mel_bins=32, compute_dtype="float16",
+        )
 
 
 def test_ast_mlp_head_torch_default_init():

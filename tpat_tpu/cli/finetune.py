@@ -443,10 +443,14 @@ def _eval_once(
         )
     dist = args.dist_eval and jax.process_count() > 1
     if dist:
-        batches = dist_eval_batches(
+        from tpat_tpu.data.loader import prefetch_iter
+
+        # background-thread prefetch so batch b+1 decodes while the eval
+        # step runs batch b (what DataLoader does on the non-dist path)
+        batches = prefetch_iter(dist_eval_batches(
             loader_val.dataset, args.batch_size,
             num_workers=loader_val.num_workers,
-        )
+        ))
     else:
         batches = ((x, y) for x, y, _ in loader_val)
     if args.dataset == "audioset":

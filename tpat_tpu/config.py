@@ -139,6 +139,13 @@ class ViTConfig:
     dense_init: str = "trunc_normal"
 
     def __post_init__(self):
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            # jnp.dtype("float16") would parse fine and silently run the
+            # model in an unsupported/unbenchmarked precision
+            raise ValueError(
+                "compute_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.compute_dtype!r}"
+            )
         if self.attn_drop_rate != 0.0:
             raise ValueError(
                 "attn_drop_rate is not implemented (all reference configs "

@@ -106,3 +106,51 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+def prefetch_iter(it, prefetch: int = 2):
+    """Drain ``it`` on a background thread through a bounded queue so item
+    production (WAV decode + fbank, which release the GIL) overlaps the
+    consumer's device time — the producer half of ``DataLoader.__iter__``
+    for an arbitrary iterator (used by the dist-eval shard generator,
+    ``cli/finetune.dist_eval_batches``).
+
+    Producer exceptions re-raise in the consumer; abandoning the returned
+    generator (``close()``/GC) stops the producer thread (same bounded-put
+    re-check as ``DataLoader`` so it cannot park forever on a full queue).
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(prefetch, 1))
+    stop = threading.Event()
+    done = object()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            for item in it:
+                if not put((item,)):
+                    return
+        except BaseException as e:  # propagate, don't hang the consumer
+            put(e)
+            return
+        put(done)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            got = q.get()
+            if got is done:
+                return
+            if isinstance(got, BaseException):
+                raise got
+            yield got[0]
+    finally:
+        stop.set()

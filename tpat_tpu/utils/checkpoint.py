@@ -118,6 +118,9 @@ class BestCheckpointKeeper:
 
         The new checkpoint is saved BEFORE the previous best is deleted:
         a failed save (disk full, interrupt mid-write) must not lose both.
+        The price is ~2x peak scratch usage while both exist — inherent
+        to crash-safety (a rename frees nothing) — so size a ramdisk
+        scratch dir for two checkpoints, not one.
         """
         if not self.track(score, epoch):
             return False
