@@ -62,8 +62,10 @@ def measure_tpat() -> float:
         v = fwd(params, x)
     float(v)  # single scalar fetch forces the whole in-order queue
     dt = (time.perf_counter() - t0) / n_iters
-    n_chips = jax.device_count()
-    return BATCH / dt / n_chips
+    # the plain (meshless) jit above executes on exactly ONE device, so
+    # the measurement already IS per-chip — dividing by device_count()
+    # would under-report whenever more than one device is visible
+    return BATCH / dt
 
 
 def measure_train_step() -> float:

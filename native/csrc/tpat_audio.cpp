@@ -36,8 +36,13 @@ struct WavInfo {
   int32_t format = 0;  // 1 = PCM, 3 = IEEE float
 };
 
-int read_u32(const uint8_t* p) {
-  return p[0] | (p[1] << 8) | (p[2] << 16) | (p[3] << 24);
+// unsigned return + unsigned shift: `int(p[3]) << 24` with a top byte
+// >= 0x80 would shift into the sign bit — signed-overflow UB pre-C++20
+// (hit by every negative 32-bit PCM sample and any chunk len >= 2^31)
+uint32_t read_u32(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16) |
+         (static_cast<uint32_t>(p[3]) << 24);
 }
 int read_u16(const uint8_t* p) { return p[0] | (p[1] << 8); }
 
@@ -100,6 +105,11 @@ int tpat_load_wav(const char* path, float* out, int64_t* n_inout,
   if (info.bits != 8 && info.bits != 16 && info.bits != 24 &&
       info.bits != 32)
     return 6;
+  // IEEE float (format 3) is only defined here for 32-bit samples: a
+  // float WAV with bits 8/16/24 would otherwise fall into the integer
+  // PCM branches below and silently decode garbage instead of erroring
+  // (the error makes data/wav.py raise rather than train on noise)
+  if (info.format == 3 && info.bits != 32) return 6;
 
   int bytes = info.bits / 8;
   int64_t total = data_len / bytes;
@@ -118,7 +128,7 @@ int tpat_load_wav(const char* path, float* out, int64_t* n_inout,
         int16_t v = static_cast<int16_t>(read_u16(s));
         val = v / 32768.0f;
       } else if (info.bits == 32) {
-        int32_t v = read_u32(s);
+        int32_t v = static_cast<int32_t>(read_u32(s));
         val = static_cast<float>(v) / 2147483648.0f;
       } else if (info.bits == 24) {
         int32_t v = s[0] | (s[1] << 8) | (s[2] << 16);

@@ -65,9 +65,12 @@ class Bench:
         float(run(x0, *rest))  # compile + warm
         best = float("inf")
         for _ in range(self.repeats):
-            t0 = time.time()
+            # perf_counter, not time.time(): best-of-N with a wall clock
+            # would let an NTP step produce an impossibly fast repeat
+            # that silently corrupts the floor
+            t0 = time.perf_counter()
             float(run(x0, *rest))
-            best = min(best, (time.time() - t0) / iters * 1000)
+            best = min(best, (time.perf_counter() - t0) / iters * 1000)
 
         w = self.name_width
         if is_floor:
@@ -79,3 +82,50 @@ class Bench:
             print(f"{name:{w}s} {best - self.floor:7.3f} ms"
                   f"   (raw {best:7.3f})")
         return best - self.floor
+
+
+def device_op_durations(trace_dir: str):
+    """Parse the newest Chrome trace under ``trace_dir`` and return
+    ``(totals_us, total_us)`` where ``totals_us`` maps op-group name
+    (the event name up to the first '.') to summed device-time in
+    microseconds — or ``None`` when no trace exists.
+
+    The ONE shared trace parser: profile_step.py and bench_mae_step.py
+    each carried a copy whose device-pid heuristics had already diverged
+    ("TPU"-only vs "TPU" or "/device"), making their op budgets
+    inconsistent on the same trace.  Device pids are announced via
+    ``process_name`` metadata events; both spellings are accepted here.
+    """
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        return None
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    device_pids = {
+        ev["pid"]
+        for ev in events
+        if ev.get("ph") == "M"
+        and ev.get("name") == "process_name"
+        and (
+            "TPU" in str((ev.get("args") or {}).get("name", ""))
+            or "/device" in str((ev.get("args") or {}).get("name", "")).lower()
+        )
+    }
+    totals = defaultdict(float)
+    total = 0.0
+    for ev in events:
+        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+            continue
+        name = ev.get("name", "")
+        dur = ev.get("dur", 0)
+        if not name or dur <= 0:
+            continue
+        totals[name.split(".")[0]] += dur
+        total += dur
+    return dict(totals), total

@@ -12,9 +12,6 @@ Usage: python scripts/bench_mae_step.py [swin|plain|both] [--profile]
 tokens); default 512 is ESC-50.
 """
 
-import glob
-import gzip
-import json
 import os
 import sys
 import time
@@ -104,26 +101,16 @@ def measure(
 
 
 def summarize_trace(trace_dir: str):
-    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    if not files:
+    from _bench import device_op_durations  # the one shared trace parser
+
+    parsed = device_op_durations(trace_dir)
+    if parsed is None:
         print("no trace found", file=sys.stderr)
         return
-    with gzip.open(sorted(files)[-1], "rt") as f:
-        trace = json.load(f)
+    by_name, _ = parsed
     cats = defaultdict(float)
-    device_pids = set()
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            name = ev.get("args", {}).get("name", "")
-            if "TPU" in name or "/device" in name.lower():
-                device_pids.add(ev["pid"])
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
-            continue
-        name = ev.get("name", "")
-        dur = ev.get("dur", 0) / 1e3  # ms
-        key = name.split(".")[0].split("(")[0][:50]
-        cats[key] += dur
+    for name, dur_us in by_name.items():
+        cats[name.split("(")[0][:50]] += dur_us / 1e3  # ms
     total = sum(cats.values())
     print(f"-- device op time over 5 steps ({total:.1f} ms total):")
     for k, v in sorted(cats.items(), key=lambda kv: -kv[1])[:25]:

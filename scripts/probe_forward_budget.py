@@ -44,7 +44,11 @@ def main():
         qkv, x2, w4, w3, w4T, w1 = gen(jax.random.fold_in(key, w))
         float(jnp.sum(qkv))
 
-        bench(f"[w={w}] null", lambda q: q[:2, :2, 0], qkv, is_floor=True)
+        # floors are calibrated PER perturbed-input tensor: the carry
+        # perturbation cost scales with the tensor that receives it, so
+        # subtracting a (B, w, 3C) floor from a (B*w, C)-input row would
+        # systematically skew the attribution
+        bench(f"[w={w}] null qkv", lambda q: q[:2, :2, 0], qkv, is_floor=True)
         a_plain = bench(
             f"[w={w}] fused attn (no scores)",
             lambda q: fused_qkv_attention(q, H, None, 1), qkv,
@@ -59,6 +63,7 @@ def main():
         )
         # the block's matmul chain: qkv (C->3C), proj (C->C), fc1 (C->4C),
         # fc2 (4C->C) — timed as the two big GEMM shapes it decomposes to
+        bench(f"[w={w}] null x2", lambda a: a[:2, :2], x2, is_floor=True)
         mm3 = bench(f"[w={w}] x@W 768->2304", lambda a, b: jnp.dot(a, b), x2, w3)
         mm4 = bench(f"[w={w}] x@W 768->3072", lambda a, b: jnp.dot(a, b), x2, w4)
         mm1 = bench(f"[w={w}] x@W 768->768", lambda a, b: jnp.dot(a, b), x2, w1)
@@ -71,6 +76,7 @@ def main():
             lambda k, w=w: jax.random.normal(k, (B * w, 4 * C), jnp.bfloat16)
         )(jax.random.fold_in(key, 100 + w))
         float(jnp.sum(x4))
+        bench(f"[w={w}] null x4", lambda a: a[:2, :2], x4, is_floor=True)
         mm2 = bench(f"[w={w}] x@W 3072->768", lambda a, b: jnp.dot(a, b), x4, w4T)
 
         blk_attn = a_plain * (nblk - nscore) + a_scores * nscore

@@ -54,12 +54,16 @@ def main():
     )
     bench("gelu_poly(mm)", lambda x, w: gelu_poly(jnp.dot(x, w)), x, w)
 
-    # accuracy spot check on-device
-    h = jnp.dot(x[:256], w)
-    exact = jax.nn.gelu(h.astype(jnp.float32), approximate=False)
-    poly = gelu_poly(h).astype(jnp.float32)
+    # accuracy spot check on-device.  BOTH sides must take the f32 input:
+    # gelu_poly on the bf16 h would round its OUTPUT to bf16 (~0.03 at
+    # |out|~4 — two orders above the 1.3e-4 polynomial error this line
+    # is validating)
+    h32 = jnp.dot(x[:256], w).astype(jnp.float32)
+    exact = jax.nn.gelu(h32, approximate=False)
+    poly = gelu_poly(h32)
     print("poly vs exact: max abs diff (f32 in):",
           float(jnp.max(jnp.abs(exact - poly))))
+    h = h32.astype(jnp.bfloat16)
     hb = h.astype(jnp.bfloat16)
     eb = jax.nn.gelu(hb, approximate=False)
     pb = gelu_poly(hb)

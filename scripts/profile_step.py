@@ -4,13 +4,9 @@ then summarize op-category durations from the trace protobuf.
 Usage: python scripts/profile_step.py [esc50|audioset] [train|infer]
 """
 
-import glob
-import gzip
-import json
 import os
 import sys
 import time
-from collections import defaultdict
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
@@ -88,31 +84,13 @@ def main():
 
 
 def summarize(trace_dir):
-    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    if not files:
+    from _bench import device_op_durations  # the one shared trace parser
+
+    parsed = device_op_durations(trace_dir)
+    if parsed is None:
         print("no trace files under", trace_dir)
         return
-    with gzip.open(sorted(files)[-1], "rt") as f:
-        trace = json.load(f)
-    # device pids are announced via process_name metadata events
-    device_pids = {
-        ev["pid"]
-        for ev in trace.get("traceEvents", [])
-        if ev.get("ph") == "M"
-        and ev.get("name") == "process_name"
-        and "TPU" in str((ev.get("args") or {}).get("name", ""))
-    }
-    by_name = defaultdict(float)
-    total = 0.0
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
-            continue
-        name = ev.get("name", "")
-        dur = ev.get("dur", 0)
-        if not name or dur <= 0:
-            continue
-        by_name[name.split(".")[0]] += dur
-        total += dur
+    by_name, total = parsed
     top = sorted(by_name.items(), key=lambda kv: -kv[1])[:30]
     print(f"device op groups (us, total {total:.0f}):")
     for name, dur in top:

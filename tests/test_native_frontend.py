@@ -57,3 +57,51 @@ def test_native_stereo_decode(tmp_path):
     w_py, _ = load_wav_python(path)
     assert w_c.shape == (2, 4000) and sr == 8000
     np.testing.assert_array_equal(w_c, w_py)
+
+
+def _wav_bytes(fmt, bits, payload, sr=16000, ch=1):
+    import struct
+
+    block = ch * bits // 8
+    fmt_chunk = struct.pack(
+        "<HHIIHH", fmt, ch, sr, sr * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_native_rejects_float_wav_with_non32_bits(tmp_path):
+    """format=3 (IEEE float) with bits!=32 must ERROR (rc!=0), not fall
+    into the integer-PCM branches and silently decode garbage."""
+    import struct
+
+    bad = tmp_path / "f3b16.wav"
+    bad.write_bytes(_wav_bytes(3, 16, struct.pack("<4h", 0, 1, -1, 2)))
+    with pytest.raises(IOError, match="native wav decode failed"):
+        native.load_wav(str(bad))
+
+    # the legitimate float WAV keeps working (and round-trips exactly)
+    vals = np.array([0.0, 0.25, -0.5, 1.0], np.float32)
+    good = tmp_path / "f3b32.wav"
+    good.write_bytes(_wav_bytes(3, 32, vals.tobytes()))
+    w, sr = native.load_wav(str(good))
+    assert sr == 16000
+    np.testing.assert_array_equal(w, vals[None])
+
+
+def test_native_negative_int32_samples(tmp_path):
+    """Full-scale negative 32-bit PCM exercises the top-byte>=0x80 path
+    of read_u32 (previously signed-shift UB)."""
+    import struct
+
+    vals = np.array([-(2**31), 2**31 - 1, -1, 0], np.int32)
+    p = tmp_path / "i32.wav"
+    p.write_bytes(_wav_bytes(1, 32, vals.tobytes()))
+    w, sr = native.load_wav(str(p))
+    np.testing.assert_allclose(
+        w[0], vals.astype(np.float64) / 2**31, atol=2**-31
+    )
