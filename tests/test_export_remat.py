@@ -219,6 +219,46 @@ def test_serving_export_roundtrip(tmp_path):
     assert (tmp_path / "artifact" / "forward.jaxexport").exists()
 
 
+def test_serving_export_bucketed(tmp_path):
+    """Bucketed artifact (batch_sizes=(2, 4)): requests that are not a
+    bucket size pad up to the smallest fitting bucket, requests larger
+    than the biggest bucket chunk — logits must equal the live model's
+    for every request size, because padding rows never cross samples
+    (pruning topk and attention are per-sample)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpat_tpu.config import ViTConfig
+    from tpat_tpu.models.vit import AudioViT
+    from tpat_tpu.utils import serving
+
+    cfg = ViTConfig(
+        embed_dim=64, depth=3, num_heads=2, num_classes=5,
+        target_length=64, num_mel_bins=32, drop_loc=(1,),
+        base_keep_rate=0.6, drop_path_rate=0.0, attention_impl="xla",
+    )
+    model = AudioViT(cfg)
+    rng = np.random.default_rng(1)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 1, 64, 32))
+    )["params"]
+    out = serving.export_forward(
+        model, params, (1, 1, 64, 32), str(tmp_path / "artifact"),
+        batch_sizes=(4, 2),  # unsorted on purpose; loader needs ascending
+    )
+    fn, meta = serving.load_forward(out)
+    assert meta["batch_sizes"] == [2, 4]
+    assert meta["input_shape"] == [None, 1, 64, 32]
+    assert (tmp_path / "artifact" / "forward.b2.jaxexport").exists()
+    assert (tmp_path / "artifact" / "forward.b4.jaxexport").exists()
+    for n in (1, 2, 3, 4, 7):  # pad->2, exact, pad->4, exact, chunk 4+3
+        x = rng.normal(size=(n, 1, 64, 32)).astype(np.float32)
+        want = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+        got = np.asarray(fn(x))
+        assert got.shape == (n, 5)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_serving_export_fused_path(tmp_path):
     """Serving export of the FUSED attention path (the production
     config): the custom_partitioning-wrapped Pallas kernel must

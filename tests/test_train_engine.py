@@ -339,6 +339,47 @@ def test_checkpoint_roundtrip(tmp_path):
     assert restored["epoch"] == 2
 
 
+def test_checkpoint_async_matches_sync(tmp_path):
+    """async_save=True overlaps the disk writes on the background writer
+    but must produce byte-equivalent final artifacts: same best marker,
+    same restored params/epoch, scratch pruned to the single best.
+    finalize() joins the writer, so reads after it are always safe."""
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=4, epochs=2, warmup_epochs=0)
+    mod = make_module(cfg, tc)
+    batches = synthetic_batches(1, 4, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+    state, _ = mod.train_epoch(state, batches, 0)
+
+    keeper = ckpt_lib.BestCheckpointKeeper(
+        str(tmp_path / "scratch"), str(tmp_path / "out"), async_save=True
+    )
+    assert keeper.update(0.5, state, epoch=0)
+    assert not keeper.update(0.3, state, epoch=1)
+    assert keeper.update(0.7, state, epoch=2)
+    best = keeper.finalize()  # joins the background writes
+    markers = [p for p in os.listdir(tmp_path / "out") if p.startswith("best-")]
+    assert markers == ["best-002-0.7000.txt"]
+    restored = ckpt_lib.restore_checkpoint(best)
+    np.testing.assert_allclose(
+        restored["params"]["cls_token"],
+        np.asarray(state.params["cls_token"]),
+        rtol=1e-6,
+    )
+    assert restored["epoch"] == 2
+    # the losing epoch-0 checkpoint was pruned by the background job
+    assert os.listdir(tmp_path / "scratch") == []
+
+    # background save_checkpoint + wait_for_checkpoints: readable after
+    # the join, and the pending list drains
+    fut = ckpt_lib.save_checkpoint(
+        str(tmp_path / "last"), state, epoch=3, background=True
+    )
+    ckpt_lib.wait_for_checkpoints()
+    assert fut.done() and fut.exception() is None
+    assert ckpt_lib.restore_checkpoint(str(tmp_path / "last"))["epoch"] == 3
+
+
 def test_evaluate_multilabel_with_extraction(tmp_path):
     """AudioSet-style mAP eval with feature extraction (the reference's
     evaluate_audioset extraction path, engine_finetune.py:233-256)."""

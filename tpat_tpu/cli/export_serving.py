@@ -34,7 +34,11 @@ def get_parser():
     p.add_argument("--finetuned_model_path", required=True,
                    help="orbax dir saved by this framework, or a "
                         "reference .pth")
-    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--batch_size", type=str, default="64",
+                   help="one int bakes a single-batch artifact; a comma "
+                        "list (e.g. '1,8,32,128') bakes one program per "
+                        "bucket and the loader pads/dispatches requests "
+                        "to the smallest bucket that fits")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--platforms", default=None,
                    help="comma list, e.g. 'tpu,cpu'; default = current "
@@ -83,19 +87,22 @@ def main(args):
         params = restore_checkpoint(path)["params"]
     params = jax.tree_util.tree_map(np.asarray, params)
 
+    batches = [int(b) for b in str(args.batch_size).split(",") if b.strip()]
     # input orientation follows the family: AudioMAE (B,1,T,F); AST
     # (B,1,F,T) (ast_models.py:434-436)
     if cfg.pos_embed_mode == "pre_cls":
-        shape = (args.batch_size, 1, cfg.target_length, cfg.num_mel_bins)
+        shape = (batches[0], 1, cfg.target_length, cfg.num_mel_bins)
     else:
-        shape = (args.batch_size, 1, cfg.num_mel_bins, cfg.target_length)
+        shape = (batches[0], 1, cfg.num_mel_bins, cfg.target_length)
     platforms = (
         tuple(args.platforms.split(",")) if args.platforms else None
     )
     out = serving.export_forward(
-        model, params, shape, args.out_dir, platforms=platforms
+        model, params, shape, args.out_dir, platforms=platforms,
+        batch_sizes=batches if len(batches) > 1 else None,
     )
-    print(f"serving artifact written to {out} (input {shape})")
+    desc = shape if len(batches) == 1 else (tuple(batches),) + shape[1:]
+    print(f"serving artifact written to {out} (input {desc})")
     return out
 
 

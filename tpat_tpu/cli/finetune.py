@@ -101,6 +101,10 @@ def get_args_parser():
     # run control
     p.add_argument("--output_dir", default="./output_dir")
     p.add_argument("--ramdisk_dir", default="")
+    p.add_argument("--async_checkpoint", type=str2bool, default=False,
+                   help="overlap best/last checkpoint disk writes with "
+                        "the next epoch's training (background writer "
+                        "thread; joined before reads and at exit)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--resume", default="")
     p.add_argument("--start_epoch", default=0, type=int)
@@ -603,7 +607,9 @@ def main(args):
                 "ever be written"
             )
     scratch = args.ramdisk_dir or str(out / "scratch")
-    keeper = BestCheckpointKeeper(scratch, str(out))
+    keeper = BestCheckpointKeeper(
+        scratch, str(out), async_save=args.async_checkpoint
+    )
     metric = "mAP" if args.dataset == "audioset" else "acc1"
 
     start = time.time()
@@ -650,7 +656,10 @@ def main(args):
         ):
             from tpat_tpu.utils.checkpoint import save_checkpoint
 
-            save_checkpoint(str(out / "last_checkpoint"), state, epoch)
+            save_checkpoint(
+                str(out / "last_checkpoint"), state, epoch,
+                background=args.async_checkpoint,
+            )
 
         log = {
             **{f"train_{k}": v for k, v in train_stats.items()},
@@ -670,7 +679,10 @@ def main(args):
             tb.flush()
 
     if is_main:
+        from tpat_tpu.utils.checkpoint import wait_for_checkpoints
+
         keeper.finalize()
+        wait_for_checkpoints()  # join any background last_checkpoint write
         print(f"training time {time.time() - start:.1f}s, "
               f"best {metric}={keeper.best_score:.4f} @ epoch {keeper.best_epoch}")
         if args.result_path:

@@ -29,6 +29,9 @@ def get_parser():
     p.add_argument("--dataset", type=str, default="audioset")
     p.add_argument("--exp-dir", type=str, default="")
     p.add_argument("--ramdisk_dir", type=str, default="")
+    p.add_argument("--async_checkpoint", type=str2bool, default=False,
+                   help="overlap best-checkpoint disk writes with the "
+                        "next epoch's training (joined at finalize)")
     p.add_argument("--lr", "--learning-rate", default=0.001, type=float)
     p.add_argument("-b", "--batch-size", default=12, type=int)
     p.add_argument("-w", "--num-workers", default=8, type=int)
@@ -350,7 +353,8 @@ def main(args):
     # AST keeps the FIRST epoch on score ties (traintest.py:236-247 uses
     # strict '>'), unlike the AudioMAE driver's last-wins
     keeper = BestCheckpointKeeper(
-        scratch, os.path.join(args.exp_dir, "models"), ties="first"
+        scratch, os.path.join(args.exp_dir, "models"), ties="first",
+        async_save=args.async_checkpoint,
     )
 
     import pickle

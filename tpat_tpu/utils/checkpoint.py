@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Dict, Optional
 
 import jax
@@ -24,6 +26,37 @@ import orbax.checkpoint as ocp
 
 def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+# One background writer, lazily created: a SINGLE worker serializes all
+# async checkpoint writes (orbax commits tmp-dir+rename per save; ordering
+# across saves must match submission order so "delete the previous best"
+# never races the save it follows).
+_WRITER_LOCK = threading.Lock()
+_WRITER: Optional[ThreadPoolExecutor] = None
+_PENDING: list = []
+
+
+def _writer() -> ThreadPoolExecutor:
+    global _WRITER
+    with _WRITER_LOCK:
+        if _WRITER is None:
+            _WRITER = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="tpat-ckpt"
+            )
+        return _WRITER
+
+
+def wait_for_checkpoints():
+    """Block until every ``background=True`` save has committed, re-raising
+    the first failure.  Call before reading a just-written checkpoint and
+    before process exit (the writer thread is non-daemonic, so an exit
+    without this still flushes — but silently swallows errors)."""
+    global _PENDING
+    with _WRITER_LOCK:
+        pending, _PENDING = _PENDING, []
+    for f in pending:
+        f.result()
 
 
 def _checkpointer() -> ocp.Checkpointer:
@@ -50,7 +83,24 @@ def _checkpointer() -> ocp.Checkpointer:
     )
 
 
-def save_checkpoint(path: str, state, epoch: int, extra: Optional[Dict] = None):
+def save_checkpoint(
+    path: str,
+    state,
+    epoch: int,
+    extra: Optional[Dict] = None,
+    *,
+    background: bool = False,
+) -> Optional[Future]:
+    """Write {params, opt_state, step, epoch} to ``path``.
+
+    ``background=True`` overlaps the disk write with training: the
+    device->host fetch still happens here (jax arrays are immutable, so
+    the fetched payload is a consistent snapshot no later step can
+    mutate), but the orbax serialize+commit runs on the single background
+    writer thread.  Returns the Future; ``wait_for_checkpoints()`` (or
+    ``future.result()``) must run before the file is read back or the
+    process exits, to surface write errors.
+    """
     path = os.path.abspath(path)
     payload = {
         "params": _to_host(state.params),
@@ -60,7 +110,15 @@ def save_checkpoint(path: str, state, epoch: int, extra: Optional[Dict] = None):
     }
     if extra:
         payload["extra"] = extra
-    _checkpointer().save(path, payload, force=True)
+    if not background:
+        _checkpointer().save(path, payload, force=True)
+        return None
+    fut = _writer().submit(
+        lambda: _checkpointer().save(path, payload, force=True)
+    )
+    with _WRITER_LOCK:
+        _PENDING.append(fut)
+    return fut
 
 
 def restore_checkpoint(path: str, template: Optional[Dict] = None) -> Dict:
@@ -76,7 +134,11 @@ class BestCheckpointKeeper:
     marker (main_finetune.py:548-589)."""
 
     def __init__(
-        self, scratch_dir: str, output_dir: str, ties: str = "last"
+        self,
+        scratch_dir: str,
+        output_dir: str,
+        ties: str = "last",
+        async_save: bool = False,
     ):
         self.scratch_dir = scratch_dir
         self.output_dir = output_dir
@@ -87,6 +149,11 @@ class BestCheckpointKeeper:
         if ties not in ("last", "first"):
             raise ValueError(f"ties must be 'last' or 'first', got {ties!r}")
         self.ties = ties
+        # async_save overlaps the save+prune disk work with the next
+        # epoch's training on the background writer; ``finalize`` joins
+        # and re-raises, so a failed write cannot silently lose the best.
+        self.async_save = async_save
+        self._futures: list = []
 
     def track(self, score: float, epoch: int) -> bool:
         """Update best_score/best_epoch per the tie rule WITHOUT touching
@@ -125,17 +192,31 @@ class BestCheckpointKeeper:
         if not self.track(score, epoch):
             return False
         new_name = f"checkpoint-{epoch:03d}"
-        save_checkpoint(
-            os.path.join(self.scratch_dir, new_name), state, epoch
-        )
-        for old in os.listdir(self.scratch_dir):
-            if old.startswith("checkpoint-") and old != new_name:
-                shutil.rmtree(
-                    os.path.join(self.scratch_dir, old), ignore_errors=True
-                )
+
+        def job():
+            save_checkpoint(
+                os.path.join(self.scratch_dir, new_name), state, epoch
+            )
+            for old in os.listdir(self.scratch_dir):
+                if old.startswith("checkpoint-") and old != new_name:
+                    shutil.rmtree(
+                        os.path.join(self.scratch_dir, old),
+                        ignore_errors=True,
+                    )
+
+        if self.async_save:
+            fut = _writer().submit(job)
+            with _WRITER_LOCK:
+                _PENDING.append(fut)
+            self._futures.append(fut)
+        else:
+            job()
         return True
 
     def finalize(self):
+        for f in self._futures:  # join async writes; re-raise failures
+            f.result()
+        self._futures = []
         if self.best_epoch < 0:
             return None
         marker = os.path.join(

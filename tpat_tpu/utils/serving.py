@@ -12,6 +12,13 @@ Layout on disk (a directory):
     forward.jaxexport   serialized StableHLO program  fn(params, x)
     params.npz          flat {'/'-joined path: array} parameter tree
     meta.json           input shape/dtype + framework version notes
+
+Bucketed artifacts (``batch_sizes=(1, 8, 32, 128)``) hold one program
+per batch bucket (``forward.b{n}.jaxexport``); the loader pads each
+request up to the smallest bucket that fits and slices the logits back
+— the standard TPU serving pattern (static shapes, bucketed dispatch),
+so one artifact serves any request size while every program stays a
+single static-shape XLA computation.
 """
 
 from __future__ import annotations
@@ -52,13 +59,21 @@ def export_forward(
     *,
     input_dtype=np.float32,
     platforms: Optional[Tuple[str, ...]] = None,
+    batch_sizes: Optional[Sequence[int]] = None,
 ) -> str:
     """Serialize ``model.apply`` (static-pruned eval forward) + params.
 
     input_shape: e.g. ``(batch, 1, target_length, num_mel_bins)`` for the
     AudioMAE family or ``(batch, 1, num_mel_bins, t)`` for AST (the same
-    orientation the model was built for).  The batch size is baked — one
-    artifact per serving batch size, as usual for AOT serving.
+    orientation the model was built for).  By default the batch size is
+    baked — one artifact per serving batch size, as usual for AOT
+    serving.
+
+    batch_sizes: optional batch buckets (e.g. ``(1, 8, 32, 128)``).  One
+    program per bucket is serialized into the same artifact (the leading
+    dim of ``input_shape`` is ignored); ``load_forward`` then pads each
+    request to the smallest bucket that fits and slices the outputs back,
+    chunking requests larger than the biggest bucket.
 
     platforms: optional lowering platforms (e.g. ``("tpu", "cpu")``);
     defaults to the current backend.
@@ -72,7 +87,6 @@ def export_forward(
     def fwd(p, x):
         return model.apply({"params": p}, x)
 
-    x_spec = jax.ShapeDtypeStruct(tuple(input_shape), jnp.dtype(input_dtype))
     p_spec = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
         params,
@@ -80,38 +94,91 @@ def export_forward(
     kw = {}
     if platforms is not None:
         kw["platforms"] = tuple(platforms)
-    exported = jexport.export(jax.jit(fwd), **kw)(p_spec, x_spec)
-    with open(os.path.join(out_dir, "forward.jaxexport"), "wb") as f:
-        f.write(exported.serialize())
+
+    def _export_one(shape):
+        x_spec = jax.ShapeDtypeStruct(tuple(shape), jnp.dtype(input_dtype))
+        return jexport.export(jax.jit(fwd), **kw)(p_spec, x_spec)
+
+    meta = {"input_dtype": np.dtype(input_dtype).name}
+    if batch_sizes is None:
+        exported = _export_one(input_shape)
+        with open(os.path.join(out_dir, "forward.jaxexport"), "wb") as f:
+            f.write(exported.serialize())
+        meta["input_shape"] = list(input_shape)
+    else:
+        buckets = sorted(set(int(b) for b in batch_sizes))
+        if not buckets or buckets[0] < 1:
+            raise ValueError(f"batch_sizes must be positive ints: {batch_sizes}")
+        for b in buckets:
+            exported = _export_one((b,) + tuple(input_shape[1:]))
+            path = os.path.join(out_dir, f"forward.b{b}.jaxexport")
+            with open(path, "wb") as f:
+                f.write(exported.serialize())
+        meta["input_shape"] = [None] + list(input_shape[1:])
+        meta["batch_sizes"] = buckets
+    meta["platforms"] = list(exported.platforms)
 
     np.savez(os.path.join(out_dir, "params.npz"), **_flatten(params))
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
-        json.dump(
-            {
-                "input_shape": list(input_shape),
-                "input_dtype": np.dtype(input_dtype).name,
-                "platforms": list(exported.platforms),
-            },
-            f,
-        )
+        json.dump(meta, f)
     return out_dir
 
 
 def load_forward(out_dir: str):
     """Load a served artifact; returns ``(fn, meta)`` where ``fn(x)``
-    runs the exported forward with the packaged parameters."""
+    runs the exported forward with the packaged parameters.
+
+    Bucketed artifacts dispatch on the request's batch size: pad up to
+    the smallest bucket that fits (zero rows, sliced off the logits), or
+    chunk by the largest bucket when the request exceeds it.
+    """
     import jax.numpy as jnp
     from jax import export as jexport
 
-    with open(os.path.join(out_dir, "forward.jaxexport"), "rb") as f:
-        exported = jexport.deserialize(f.read())
     flat = np.load(os.path.join(out_dir, "params.npz"))
     params = _unflatten({k: flat[k] for k in flat.files})
     params = _unflatten_cast(params)
-    meta = json.load(open(os.path.join(out_dir, "meta.json")))
+    with open(os.path.join(out_dir, "meta.json")) as f:
+        meta = json.load(f)
+
+    def _load(name):
+        with open(os.path.join(out_dir, name), "rb") as f:
+            return jexport.deserialize(f.read())
+
+    buckets = meta.get("batch_sizes")
+    if buckets is None:
+        exported = _load("forward.jaxexport")
+
+        def fn(x):
+            return exported.call(params, jnp.asarray(x))
+
+        return fn, meta
+
+    programs = {b: _load(f"forward.b{b}.jaxexport") for b in buckets}
+    dtype = jnp.dtype(meta["input_dtype"])
+
+    def _run_padded(chunk):
+        # pad on-device (jnp): host round-trips here would dominate the
+        # dispatch cost for device-resident request tensors
+        chunk = jnp.asarray(chunk, dtype)
+        n = chunk.shape[0]
+        b = next(bb for bb in buckets if bb >= n)  # buckets are sorted
+        if n < b:
+            pad = jnp.zeros((b - n,) + chunk.shape[1:], dtype)
+            chunk = jnp.concatenate([chunk, pad], axis=0)
+        return programs[b].call(params, chunk)[:n]
 
     def fn(x):
-        return exported.call(params, jnp.asarray(x))
+        if not hasattr(x, "shape"):
+            x = np.asarray(x, dtype)
+        if x.shape[0] == 0:
+            raise ValueError("empty batch")
+        biggest = buckets[-1]
+        outs = [
+            _run_padded(x[i : i + biggest])
+            for i in range(0, x.shape[0], biggest)
+        ]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     return fn, meta
 
