@@ -55,6 +55,9 @@ def test_finetune_cli_full_loop(corpus, tmp_path):
         "--output_dir", str(out),
         "--result_path", str(tmp_path / "result.txt"),
         "--num_workers", "2",
+        # async best-checkpoint writes through the CLI (the sync path is
+        # covered by test_finetune_cli_resume and the keeper unit tests)
+        "--async_checkpoint", "True",
     ]
     main(get_args_parser().parse_args(argv))
     assert (out / "args.yaml").exists()

@@ -49,6 +49,9 @@ def get_args_parser():
     p.add_argument("--num_workers", default=4, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--save_every_epochs", default=4, type=int)
+    p.add_argument("--async_checkpoint", type=str2bool, default=False,
+                   help="overlap periodic checkpoint disk writes with "
+                        "the next epoch (joined before exit)")
     # bf16 = the TPU form of the reference's AMP training; f32 opt-out
     p.add_argument(
         "--compute_dtype", default="bfloat16",
@@ -241,7 +244,8 @@ def main(args):
                 params=params, opt_state=opt_state, step=step
             )
             ckpt_lib.save_checkpoint(
-                str(out / f"checkpoint-{epoch:03d}"), s, epoch
+                str(out / f"checkpoint-{epoch:03d}"), s, epoch,
+                background=args.async_checkpoint,
             )
     if args.export_torch and is_main:
         from tpat_tpu.utils.torch_export import save_pth
@@ -253,6 +257,8 @@ def main(args):
             epoch=args.epochs - 1,
         )
         print(f"wrote {out / 'mae_pretrained.pth'}")
+    if is_main:
+        ckpt_lib.wait_for_checkpoints()  # join background writes, re-raise
     print(f"pretraining done in {time.time() - t0:.1f}s")
 
 
