@@ -339,3 +339,18 @@ def test_export_serving_cli(tmp_path):
     got = np.asarray(fn(x))
     want = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # comma-list --batch_size -> bucketed artifact through the CLI
+    out2 = main(get_parser().parse_args([
+        "--model", "audiomae_vit_tiny", "--dataset", "esc50",
+        "--nb_classes", "4", "--target_length", "64",
+        "--base_keep_rate", "0.6", "--drop_loc", "(1,)",
+        "--compute_dtype", "float32",
+        "--finetuned_model_path", str(tmp_path / "ckpt"),
+        "--batch_size", "1,2", "--out_dir", str(tmp_path / "bucketed"),
+    ]))
+    fn2, meta2 = serving.load_forward(out2)
+    assert meta2["batch_sizes"] == [1, 2]
+    np.testing.assert_allclose(
+        np.asarray(fn2(x)), want, rtol=1e-6, atol=1e-6
+    )
