@@ -176,6 +176,53 @@ def measure_pretrain_step(target_length: int = TARGET_LENGTH) -> float:
     return best
 
 
+def measure_serving_latency_b1() -> float:
+    """Batch-1 latency (ms) of the AOT serving artifact: export the
+    flagship eval forward (ViT-B keep 0.7, bf16, fused attention) as a
+    single-bucket ``jax.export`` program, reload it without the model
+    object, and time the dispatch — the number an online-serving user
+    sees (docs/BENCH_NOTES.md "Bucketed serving latency")."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpat_tpu.config import audiomae_vit_base
+    from tpat_tpu.models.vit import AudioViT
+    from tpat_tpu.utils import serving
+
+    cfg = audiomae_vit_base(
+        target_length=TARGET_LENGTH, num_classes=50, base_keep_rate=KEEP,
+        drop_loc=(3, 6, 9), drop_path_rate=0.0, compute_dtype="bfloat16",
+    )
+    model = AudioViT(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 1, TARGET_LENGTH, cfg.num_mel_bins)),
+    )["params"]
+    with tempfile.TemporaryDirectory(prefix="tpat_bench_serving_") as d:
+        serving.export_forward(
+            model, params, (1, 1, TARGET_LENGTH, cfg.num_mel_bins), d
+        )
+        fn, _ = serving.load_forward(d)
+        x = jax.jit(
+            lambda k: jax.random.normal(
+                k, (1, 1, TARGET_LENGTH, cfg.num_mel_bins), jnp.float32
+            )
+        )(jax.random.PRNGKey(3))
+        float(jnp.sum(x))
+        out = fn(x)
+        float(jnp.sum(out.astype(jnp.float32)))  # compile + execute
+        iters, best = 50, float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(x)
+            float(jnp.sum(out.astype(jnp.float32)))
+            best = min(best, (time.perf_counter() - t0) / iters * 1000)
+    return best
+
+
 # bump when the baseline methodology changes — stale caches re-measure
 BASELINE_VERSION = "v2-refmath-b32-i10"
 
@@ -304,6 +351,11 @@ def main():
         print(f"audioset pretrain-step measurement failed: {e}",
               file=sys.stderr)
         pretrain_as_ms = None
+    try:
+        serving_b1_ms = round(measure_serving_latency_b1(), 2)
+    except Exception as e:
+        print(f"serving-latency measurement failed: {e}", file=sys.stderr)
+        serving_b1_ms = None
     result = {
         "metric": "clips/sec/chip ViT-B keep0.7 ESC-50 eval (bf16, fused attention)",
         "value": round(value, 1),
@@ -322,6 +374,7 @@ def main():
         "mae_pretrain_audioset_clips_per_sec": (
             round(32 / pretrain_as_ms * 1000, 1) if pretrain_as_ms else None
         ),
+        "serving_latency_b1_ms_aot_artifact": serving_b1_ms,
     }
     print(json.dumps(result))
 

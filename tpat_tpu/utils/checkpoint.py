@@ -55,8 +55,22 @@ def wait_for_checkpoints():
     global _PENDING
     with _WRITER_LOCK:
         pending, _PENDING = _PENDING, []
-    for f in pending:
-        f.result()
+    _join_all(pending)
+
+
+def _join_all(futures):
+    """Wait on every future, THEN re-raise the first failure — later
+    writes must be joined even when an earlier one failed, or the caller
+    would exit with commits still in flight."""
+    first = None
+    for f in futures:
+        try:
+            f.result()
+        except Exception as e:  # noqa: BLE001 — re-raised below
+            if first is None:
+                first = e
+    if first is not None:
+        raise first
 
 
 def _checkpointer() -> ocp.Checkpointer:
@@ -214,9 +228,8 @@ class BestCheckpointKeeper:
         return True
 
     def finalize(self):
-        for f in self._futures:  # join async writes; re-raise failures
-            f.result()
-        self._futures = []
+        pending, self._futures = self._futures, []
+        _join_all(pending)  # join async writes; re-raise the first failure
         if self.best_epoch < 0:
             return None
         marker = os.path.join(
