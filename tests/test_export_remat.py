@@ -354,3 +354,17 @@ def test_export_serving_cli(tmp_path):
     np.testing.assert_allclose(
         np.asarray(fn2(x)), want, rtol=1e-6, atol=1e-6
     )
+
+    # malformed --batch_size fails fast with a clear message, not an
+    # IndexError / opaque export error downstream
+    import pytest
+
+    for bad in ("", ",", "0", "2,0", "-1"):
+        with pytest.raises(SystemExit, match="batch_size"):
+            main(get_parser().parse_args([
+                "--model", "audiomae_vit_tiny", "--dataset", "esc50",
+                "--nb_classes", "4", "--target_length", "64",
+                "--drop_loc", "(1,)",
+                "--finetuned_model_path", str(tmp_path / "ckpt"),
+                "--batch_size", bad, "--out_dir", str(tmp_path / "bad"),
+            ]))

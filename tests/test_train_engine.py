@@ -356,22 +356,39 @@ def test_checkpoint_async_matches_sync(tmp_path):
     )
     assert keeper.update(0.5, state, epoch=0)
     assert not keeper.update(0.3, state, epoch=1)
+    cls_host = np.asarray(state.params["cls_token"])
     assert keeper.update(0.7, state, epoch=2)
+    # update() must snapshot device->host on the CALLER thread: with the
+    # train step donating its input state, the next step deletes these
+    # buffers before the writer thread runs.  Simulate by deleting every
+    # device array right after update() returns — the background write
+    # must still commit the epoch-2 payload.
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        if isinstance(leaf, jax.Array):
+            leaf.delete()
+    # the background prune (same single-worker queue, after the save) is
+    # the thing that removed checkpoint-000 — check BEFORE finalize(),
+    # which would delete everything in scratch itself.
+    ckpt_lib.wait_for_checkpoints()
+    assert sorted(
+        p for p in os.listdir(tmp_path / "scratch")
+        if p.startswith("checkpoint-")
+    ) == ["checkpoint-002"]
     best = keeper.finalize()  # joins the background writes
     markers = [p for p in os.listdir(tmp_path / "out") if p.startswith("best-")]
     assert markers == ["best-002-0.7000.txt"]
     restored = ckpt_lib.restore_checkpoint(best)
     np.testing.assert_allclose(
-        restored["params"]["cls_token"],
-        np.asarray(state.params["cls_token"]),
-        rtol=1e-6,
+        restored["params"]["cls_token"], cls_host, rtol=1e-6
     )
     assert restored["epoch"] == 2
-    # the losing epoch-0 checkpoint was pruned by the background job
+    # finalize() empties the scratch dir entirely
     assert os.listdir(tmp_path / "scratch") == []
 
     # background save_checkpoint + wait_for_checkpoints: readable after
-    # the join, and the pending list drains
+    # the join, and the pending list drains (fresh state — the one above
+    # had its device buffers deleted by the donation simulation)
+    state = mod.init(jnp.asarray(batches[0][0]))
     fut = ckpt_lib.save_checkpoint(
         str(tmp_path / "last"), state, epoch=3, background=True
     )

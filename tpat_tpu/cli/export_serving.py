@@ -88,6 +88,11 @@ def main(args):
     params = jax.tree_util.tree_map(np.asarray, params)
 
     batches = [int(b) for b in str(args.batch_size).split(",") if b.strip()]
+    if not batches or any(b < 1 for b in batches):
+        raise SystemExit(
+            f"--batch_size must be one or more positive ints "
+            f"(comma-separated), got {args.batch_size!r}"
+        )
     # input orientation follows the family: AudioMAE (B,1,T,F); AST
     # (B,1,F,T) (ast_models.py:434-436)
     if cfg.pos_embed_mode == "pre_cls":

@@ -206,11 +206,9 @@ class BestCheckpointKeeper:
         if not self.track(score, epoch):
             return False
         new_name = f"checkpoint-{epoch:03d}"
+        new_path = os.path.join(self.scratch_dir, new_name)
 
-        def job():
-            save_checkpoint(
-                os.path.join(self.scratch_dir, new_name), state, epoch
-            )
+        def prune():
             for old in os.listdir(self.scratch_dir):
                 if old.startswith("checkpoint-") and old != new_name:
                     shutil.rmtree(
@@ -219,12 +217,25 @@ class BestCheckpointKeeper:
                     )
 
         if self.async_save:
-            fut = _writer().submit(job)
+            # The device->host fetch MUST happen here, on the caller
+            # thread, before returning: the train step is jitted with
+            # donated state (engine/train.py donate_argnums), so by the
+            # time the writer thread runs, the next epoch's first step
+            # has already invalidated ``state``'s device buffers and a
+            # deferred _to_host reads deleted arrays.
+            # save_checkpoint(background=True) fetches eagerly and only
+            # defers the orbax serialize+commit; the prune rides the same
+            # single-worker executor, so save-before-prune ordering holds.
+            self._futures.append(
+                save_checkpoint(new_path, state, epoch, background=True)
+            )
+            fut = _writer().submit(prune)
             with _WRITER_LOCK:
                 _PENDING.append(fut)
             self._futures.append(fut)
         else:
-            job()
+            save_checkpoint(new_path, state, epoch)
+            prune()
         return True
 
     def finalize(self):
