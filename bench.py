@@ -213,21 +213,47 @@ def measure_serving_latency_b1() -> float:
         float(jnp.sum(x))
         out = fn(x)
         float(jnp.sum(out.astype(jnp.float32)))  # compile + execute
-        iters, best = 50, float("inf")
+        # (a) queue-amortized: 50 dispatches back-to-back, one fetch —
+        # the throughput-oriented number (per-request dispatch latency
+        # hidden by the in-order queue)
+        iters, amortized = 50, float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = fn(x)
             float(jnp.sum(out.astype(jnp.float32)))
-            best = min(best, (time.perf_counter() - t0) / iters * 1000)
-    return best
+            amortized = min(
+                amortized, (time.perf_counter() - t0) / iters * 1000
+            )
+        # (b) single-dispatch: one request, one result fetch, repeated —
+        # what an online-serving caller actually waits per request.  On
+        # this relay the fetch round-trip (~29 ms) is part of the price;
+        # report p50/p99 over the singles.
+        singles = []
+        for _ in range(30):
+            t0 = time.perf_counter()
+            out = fn(x)
+            float(jnp.sum(out.astype(jnp.float32)))
+            singles.append((time.perf_counter() - t0) * 1000)
+        p50 = float(np.percentile(singles, 50))
+        p99 = float(np.percentile(singles, 99))
+    return amortized, p50, p99
 
 
 # bump when the baseline methodology changes — stale caches re-measure
 BASELINE_VERSION = "v2-refmath-b32-i10"
+# COMMITTED anchor: the methodology-v2 measurement from the build host,
+# uncontended (docs/BENCH_NOTES.md "Baseline anchor").  Re-measuring per
+# driver run made vs_baseline swing 2.8x between rounds on host
+# contention alone (a contended 1-core run read 0.96 vs this 2.40), so
+# the pinned value is the default; set TPAT_REMEASURE_BASELINE=1 to
+# measure the local host instead.
+BASELINE_PINNED = os.path.join(
+    os.path.dirname(__file__), "bench_baseline_pinned.json"
+)
 
 
-def measure_torch_cpu_baseline() -> float:
+def measure_torch_cpu_baseline() -> tuple:
     """Dense torch-CPU ViT-B forward on the same geometry — the reference
     stack's CPU-runnable anchor (BASELINE.json configs[0]).
 
@@ -235,13 +261,22 @@ def measure_torch_cpu_baseline() -> float:
     qkv Linear -> scaled softmax -> proj attention (not
     nn.MultiheadAttention), pre-norm residuals, GELU MLP, mean-pool over
     patch tokens + fc_norm + head (models_vit.py:387-391).  Batch 32,
-    10 timed iterations; result cached with a methodology version.
+    10 timed iterations.  Returns ``(clips_per_sec, source)`` where
+    source is 'pinned' (committed anchor file) or 'measured'.
     """
+    if os.environ.get("TPAT_REMEASURE_BASELINE", "0") != "1":
+        with open(BASELINE_PINNED) as f:
+            pinned = json.load(f)
+        assert pinned["version"] == BASELINE_VERSION, (
+            "bench_baseline_pinned.json is stale: re-measure with "
+            "TPAT_REMEASURE_BASELINE=1 and update it"
+        )
+        return pinned["clips_per_sec"], "pinned"
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
         if cached.get("version") == BASELINE_VERSION:
-            return cached["clips_per_sec"]
+            return cached["clips_per_sec"], "measured"
 
     import torch
 
@@ -323,16 +358,16 @@ def measure_torch_cpu_baseline() -> float:
             },
             f,
         )
-    return cps
+    return cps, "measured"
 
 
 def main():
     value = measure_tpat()
     try:
-        baseline = measure_torch_cpu_baseline()
+        baseline, baseline_source = measure_torch_cpu_baseline()
     except Exception as e:  # baseline failure must not kill the bench
         print(f"baseline measurement failed: {e}", file=sys.stderr)
-        baseline = None
+        baseline, baseline_source = None, None
     try:
         train_ms = round(measure_train_step(), 1)
     except Exception as e:  # train probe failure must not kill the headline
@@ -352,15 +387,21 @@ def main():
               file=sys.stderr)
         pretrain_as_ms = None
     try:
-        serving_b1_ms = round(measure_serving_latency_b1(), 2)
+        amortized, p50, p99 = measure_serving_latency_b1()
+        serving_amortized_ms = round(amortized, 2)
+        serving_p50_ms, serving_p99_ms = round(p50, 2), round(p99, 2)
     except Exception as e:
         print(f"serving-latency measurement failed: {e}", file=sys.stderr)
-        serving_b1_ms = None
+        serving_amortized_ms = serving_p50_ms = serving_p99_ms = None
     result = {
         "metric": "clips/sec/chip ViT-B keep0.7 ESC-50 eval (bf16, fused attention)",
         "value": round(value, 1),
         "unit": "clips/s",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
+        "baseline_clips_per_sec": (
+            round(baseline, 3) if baseline else None
+        ),
+        "baseline_source": baseline_source,
         # secondary driver-visible metrics (one JSON line total)
         "train_step_ms_b64_bf16_static": train_ms,
         "train_clips_per_sec": (
@@ -374,7 +415,13 @@ def main():
         "mae_pretrain_audioset_clips_per_sec": (
             round(32 / pretrain_as_ms * 1000, 1) if pretrain_as_ms else None
         ),
-        "serving_latency_b1_ms_aot_artifact": serving_b1_ms,
+        # queue-amortized = 50 back-to-back dispatches / one fetch
+        # (throughput view); single_dispatch = one request + result
+        # fetch per timing (what an online caller waits, incl. the
+        # relay round-trip on this setup)
+        "serving_latency_b1_ms_queue_amortized": serving_amortized_ms,
+        "serving_latency_b1_ms_single_dispatch_p50": serving_p50_ms,
+        "serving_latency_b1_ms_single_dispatch_p99": serving_p99_ms,
     }
     print(json.dumps(result))
 

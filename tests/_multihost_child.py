@@ -46,6 +46,7 @@ def main():
     per_host_batch = 4
 
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=64, depth=3, num_heads=2, num_classes=4,
         target_length=64, num_mel_bins=32, drop_loc=(1,),
         base_keep_rate=0.6, drop_path_rate=0.0, attention_impl="xla",

@@ -32,3 +32,45 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Smoke tier: one fast, representative test per subsystem so correctness can
+# be sampled in ~5 min (`pytest -m smoke`) instead of the ~50-min full suite.
+# test_multihost is excluded (a real 2-process jax.distributed run, ~3.5 min
+# alone) and test_north_star is excluded (three full-size ViT-B CPU
+# compiles); run those explicitly when touching their subsystems.
+_SMOKE = {
+    "test_pruning_ops.py::test_topk_matches_torch_ordering",
+    "test_fbank.py::test_sine_tone_peak",
+    "test_native_frontend.py::test_native_fbank_matches_numpy",
+    "test_frontend.py::test_device_matches_host_eval",
+    "test_data_pipeline.py::test_dataset_eval_item",
+    "test_model_parity.py::test_audiomae_flavor_parity",
+    "test_mae.py::test_mae_forward_and_loss",
+    "test_fast_gelu.py::test_gelu_poly_accuracy_envelope",
+    "test_pallas_attention.py::test_fused_matches_xla",
+    "test_window_attention.py::test_swin_block_fused_matches_xla",
+    "test_pallas_layernorm.py::test_fused_ln_matches_flax",
+    "test_kernel_partitioning.py::test_fused_vit_grad_matches_on_mesh",
+    "test_tensor_parallel.py::test_tp_forward_matches_single_device",
+    "test_train_engine.py::test_losses_match_torch",
+    "test_train_engine.py::test_train_phases_and_loss_decreases",
+    "test_ast_recipe.py::test_ast_adam_matches_torch",
+    "test_analysis.py::test_kendall_tau_matches_bruteforce",
+    "test_ablations.py::test_custom_rank_selects_by_intensity",
+    "test_export_remat.py::test_config_validation",
+    "test_packaging.py::test_version_single_sourced",
+    "test_reference_layout.py::test_pos_embed_time_crop_matches_reference_function",
+    "test_cli_e2e.py::test_keeper_tie_semantics",
+    "test_cli_e2e.py::test_run_ast_eval_requires_checkpoint",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        # strip any parametrize suffix so "file::func" matches every
+        # parameter instance of a parametrized entry
+        rel = item.nodeid.split("tests/")[-1].split("[")[0]
+        if rel in _SMOKE:
+            item.add_marker(pytest.mark.smoke)

@@ -21,6 +21,7 @@ def cfg(**kw):
     kw.setdefault("num_mel_bins", 32)
     kw.setdefault("drop_path_rate", 0.0)
     kw.setdefault("drop_loc", ())
+    kw.setdefault("compute_dtype", "float32")
     return ViTConfig(**kw)
 
 

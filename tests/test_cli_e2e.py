@@ -413,6 +413,7 @@ def test_pretrained_head_kernel_reinitialized(corpus, tmp_path):
     from tpat_tpu.utils.torch_export import save_pth
 
     cfg = audiomae_vit_tiny(
+        compute_dtype="float32",
         target_length=64, num_classes=4, drop_loc=(1,), base_keep_rate=0.6,
         drop_path_rate=0.0,
     )

@@ -23,6 +23,7 @@ def base_cfg(**kw):
     kw.setdefault("drop_loc", (1,))
     kw.setdefault("base_keep_rate", 0.7)
     kw.setdefault("drop_path_rate", 0.0)
+    kw.setdefault("compute_dtype", "float32")
     return ViTConfig(**kw)
 
 
@@ -162,6 +163,7 @@ def test_audioset_pretrained_geometry_import(tmp_path, rng):
     from tpat_tpu.models.vit import AudioViT
 
     cfg = audiomae_vit_base(
+        compute_dtype="float32",
         target_length=512, num_classes=50, base_keep_rate=0.5,
         drop_loc=(3, 6, 9), drop_path_rate=0.0,
     )
@@ -197,6 +199,7 @@ def test_serving_export_roundtrip(tmp_path):
     from tpat_tpu.utils import serving
 
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=64, depth=3, num_heads=2, num_classes=5,
         target_length=64, num_mel_bins=32, drop_loc=(1,),
         base_keep_rate=0.6, drop_path_rate=0.0, attention_impl="xla",
@@ -233,6 +236,7 @@ def test_serving_export_bucketed(tmp_path):
     from tpat_tpu.utils import serving
 
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=64, depth=3, num_heads=2, num_classes=5,
         target_length=64, num_mel_bins=32, drop_loc=(1,),
         base_keep_rate=0.6, drop_path_rate=0.0, attention_impl="xla",
@@ -275,6 +279,7 @@ def test_serving_export_fused_path(tmp_path):
     from tpat_tpu.utils import serving
 
     cfg = audiomae_vit_base(
+        compute_dtype="float32",
         target_length=64, num_classes=5, base_keep_rate=0.6, drop_loc=(1,),
         drop_path_rate=0.0,
     )

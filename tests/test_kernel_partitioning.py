@@ -37,6 +37,7 @@ def _rep(mesh, tree):
 @pytest.fixture(scope="module")
 def vit_setup():
     cfg = audiomae_vit_base(
+        compute_dtype="float32",
         target_length=64, num_classes=4, base_keep_rate=0.7, drop_loc=(1,),
         drop_path_rate=0.0,
     )

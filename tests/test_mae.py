@@ -13,6 +13,7 @@ from tpat_tpu.models.mae import MAEConfig, MaskedAutoencoderViT
 
 def tiny_mae(decoder_mode):
     return MAEConfig(
+        compute_dtype="float32",
         embed_dim=64,
         depth=2,
         num_heads=2,
@@ -401,6 +402,7 @@ def test_random_masking_2d_large_grid_offset():
     import dataclasses
 
     cfg = MAEConfig(
+        compute_dtype="float32",
         embed_dim=32, depth=1, num_heads=2, decoder_embed_dim=32,
         decoder_depth=1, decoder_num_heads=2, decoder_mode=0,
         target_length=2048, num_mel_bins=128,  # grid (128, 8) = 1024 > 999

@@ -52,6 +52,7 @@ def _make_pair(num_extra, importance, pooling, use_final_norm, keep, drop_loc):
     ).eval()
 
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=DIM,
         depth=DEPTH,
         num_heads=HEADS,
@@ -178,6 +179,7 @@ def test_overlapping_patch_embed_matches_torch():
     from tpat_tpu.models.vit import PatchEmbed
 
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=32, depth=1, num_heads=2, target_length=64,
         num_mel_bins=32, patch_size=16, patch_stride=10, drop_loc=(),
     )
@@ -218,6 +220,7 @@ def test_masked_static_equivalence_sweep(
     combinations, the masked path must reproduce the static physically
     pruned logits."""
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=64,
         depth=depth,
         num_heads=2,
@@ -291,6 +294,7 @@ def test_frozen_pos_embed_respects_extra_tokens():
     build a (1, P+1, D) table against a declared (1, P+2, D) shape and
     blow up at the first forward."""
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=32, depth=1, num_heads=2, num_classes=3,
         target_length=64, num_mel_bins=32, drop_loc=(),
         num_extra_tokens=2, importance="cls", pooling="cls_dist",
@@ -313,6 +317,7 @@ def test_custom_rank_ignored_under_2d_masking(rng):
     models_vit.py:468-497) never consults use_custom_rank; full-grid rank
     indices would be misaligned with the permuted shrunk sequence."""
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=32, depth=2, num_heads=2, num_classes=3,
         target_length=64, num_mel_bins=32, drop_loc=(1,),
         base_keep_rate=0.5, drop_path_rate=0.0,
@@ -339,6 +344,7 @@ def test_frozen_pos_embed_no_grad_in_masked2d(rng):
     gradient into pos_embed (the CLS row previously bypassed the
     stop_gradient)."""
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=32, depth=1, num_heads=2, num_classes=3,
         target_length=64, num_mel_bins=32, drop_loc=(),
         drop_path_rate=0.0, frozen_pos_embed=True,
@@ -359,6 +365,19 @@ def test_frozen_pos_embed_no_grad_in_masked2d(rng):
     grads = jax.grad(loss_fn)(params)
     np.testing.assert_array_equal(np.asarray(grads["pos_embed"]), 0.0)
     assert float(np.abs(np.asarray(grads["cls_token"])).max()) > 0.0
+
+
+def test_bfloat16_is_the_default_compute_dtype():
+    """The platform default is bf16 (the reference trains under AMP,
+    engine_finetune.py:102); f32 is the explicit parity override — the
+    tests in this suite pin it where they compare against torch math."""
+    from tpat_tpu.models.mae import MAEConfig
+
+    assert ViTConfig(
+        embed_dim=32, depth=1, num_heads=2, num_classes=3,
+        target_length=64, num_mel_bins=32, drop_loc=(),
+    ).compute_dtype == "bfloat16"
+    assert MAEConfig().compute_dtype == "bfloat16"
 
 
 def test_attn_drop_rate_rejected():
@@ -383,6 +402,7 @@ def test_ast_mlp_head_torch_default_init():
     kaiming-uniform(a=sqrt(5)) => weight ~ U(+-sqrt(1/fan_in)), bias ~
     U(+-1/sqrt(fan_in)) — not timm trunc-normal."""
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=64, depth=1, num_heads=2, num_classes=35,
         target_length=128, num_mel_bins=32, drop_loc=(),
         num_extra_tokens=2, importance="cls", pooling="cls_dist",
@@ -424,6 +444,7 @@ def test_hybrid_matches_masked_sweep(
     from tpat_tpu.engine.schedules import bucket_keep_rates, masked_kept_counts
 
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=64,
         depth=depth,
         num_heads=2,

@@ -105,6 +105,7 @@ def test_two_process_distributed_matches_single_process(tmp_path):
     from tpat_tpu.parallel import mesh as mesh_lib
 
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=64, depth=3, num_heads=2, num_classes=CLASSES,
         target_length=64, num_mel_bins=32, drop_loc=(1,),
         base_keep_rate=0.6, drop_path_rate=0.0, attention_impl="xla",

@@ -2,6 +2,7 @@
 Python implementations.  Skipped when the library isn't built
 (``make -C native``)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -104,4 +105,53 @@ def test_native_negative_int32_samples(tmp_path):
     w, sr = native.load_wav(str(p))
     np.testing.assert_allclose(
         w[0], vals.astype(np.float64) / 2**31, atol=2**-31
+    )
+
+
+def test_native_fbank_thread_scaling():
+    """The _host_fbank heuristic (data/datasets.py) picks the native
+    GIL-free kernel when cores allow on the claim that it parallelizes
+    under the loader's thread pool — validate that claim wherever this
+    test runs on a multi-core host: 4 threads must beat 1 thread by
+    well over the no-scaling ratio (>= 2x here; near-linear is typical
+    for a GIL-free kernel).  Skips on single-core hosts (the image this
+    framework is built in has one core), activating automatically on
+    real TPU-VM hosts."""
+    import threading
+    import time
+
+    if not native.available():
+        pytest.skip("native library not built")
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except AttributeError:
+        cores = os.cpu_count() or 1
+    if cores < 4:
+        pytest.skip(f"needs >=4 cores for a scaling claim, have {cores}")
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    wave = rng.normal(size=sr * 5).astype(np.float32)  # one 5-s clip
+    native.fbank(wave, sr)  # warm any lazy init
+
+    def run_batch(n_threads, clips_per_thread=8):
+        def work():
+            for _ in range(clips_per_thread):
+                native.fbank(wave, sr)
+
+        threads = [threading.Thread(target=work) for _ in range(n_threads)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        total = n_threads * clips_per_thread
+        return (time.perf_counter() - t0) / total  # seconds per clip
+
+    per_clip_1 = min(run_batch(1) for _ in range(3))
+    per_clip_4 = min(run_batch(4) for _ in range(3))
+    speedup = per_clip_1 / per_clip_4
+    assert speedup >= 2.0, (
+        f"native fbank does not scale under threads: 1t {per_clip_1*1e3:.2f} "
+        f"ms/clip vs 4t {per_clip_4*1e3:.2f} ms/clip (speedup {speedup:.2f}x)"
     )

@@ -1,0 +1,54 @@
+"""North-star evidence: the reference's headline claim is a 30-40% MAC
+reduction from TopK token pruning at <1% accuracy drop
+(/root/reference/README.md:6).  These tests pin the *compute* half of
+that claim to the actual compiled graphs: XLA's own cost model must
+report a pruned/dense FLOP ratio inside the claimed band at the
+reference's operating point (ViT-B, ESC-50 geometry, keep 0.7 at blocks
+3/6/9 — ft_esc50.sh).  The *accuracy* half is exercised on hardware by
+scripts/convergence_check_tpu.py --twin (dense vs pruned twin training
+on the synthetic corpus; results in docs/BENCH_NOTES.md "North-star
+proxy").
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpat_tpu.config import audiomae_vit_base
+from tpat_tpu.models.vit import AudioViT
+
+
+def _compiled_flops(keep_rate: float) -> float:
+    """FLOPs of the jit-compiled b1 eval forward per XLA cost analysis."""
+    cfg = audiomae_vit_base(
+        target_length=512,
+        num_classes=50,
+        base_keep_rate=keep_rate,
+        drop_loc=(3, 6, 9) if keep_rate < 1.0 else (),
+        drop_path_rate=0.0,
+        # the FLOP count is dtype-independent; f32 keeps the cost model
+        # on the plain XLA ops (the Pallas kernel is opaque to it)
+        compute_dtype="float32",
+        attention_impl="xla",
+    )
+    model = AudioViT(cfg)
+    x = jnp.zeros((1, 1, cfg.target_length, cfg.num_mel_bins))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    compiled = fwd.lower(params, x).compile()
+    return float(compiled.cost_analysis()["flops"])
+
+
+@pytest.mark.slow
+def test_pruning_flop_reduction_matches_readme_claim():
+    """keep 0.7 at drop_loc (3,6,9): compiled FLOPs drop 30-40% vs dense
+    (measured 35.0% — README.md:6's claimed band); keep 0.5 drops more
+    (measured 50.8%), monotone in the keep rate."""
+    dense = _compiled_flops(1.0)
+    pruned_07 = _compiled_flops(0.7)
+    pruned_05 = _compiled_flops(0.5)
+    red_07 = 1.0 - pruned_07 / dense
+    red_05 = 1.0 - pruned_05 / dense
+    assert 0.30 <= red_07 <= 0.40, f"keep-0.7 FLOP reduction {red_07:.3f}"
+    assert red_05 > red_07, f"keep-0.5 must prune more: {red_05:.3f}"
+    assert red_05 >= 0.45, f"keep-0.5 FLOP reduction {red_05:.3f}"

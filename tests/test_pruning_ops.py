@@ -194,6 +194,7 @@ def test_masked_kept_counts_match_static_double_math():
     from tpat_tpu.config import ViTConfig
 
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=64, num_heads=2, depth=12, target_length=512,
         num_mel_bins=128, drop_loc=(3, 6, 9), base_keep_rate=0.5,
     )

@@ -157,6 +157,7 @@ def test_real_reference_vit_checkpoint_roundtrip(ref_models_vit, tmp_path):
         )
 
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=384,
         depth=12,
         num_heads=6,
@@ -216,6 +217,7 @@ def _small_pair(ref_models_vit, drop_loc=(3, 6, 9), keep=0.5, tl=512, nc=10):
     model = model.eval()
 
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=384, depth=12, num_heads=6, num_classes=nc,
         target_length=tl, num_mel_bins=128, drop_loc=drop_loc,
         base_keep_rate=keep, drop_path_rate=0.0, pos_embed_mode="pre_cls",
@@ -358,6 +360,7 @@ def test_ast_timm_layout_import_end_to_end(tmp_path):
 
     tl = 512  # t_dim = 32
     cfg = ast_vit_base(
+        compute_dtype="float32",
         target_length=tl,
         num_mel_bins=128,
         num_classes=nc,
@@ -502,6 +505,7 @@ def test_deit_import_logit_parity(tl):
     sd_np = _fake_deit_state_dict(rng, depth=depth, d=d)
 
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=d, depth=depth, num_heads=heads, num_classes=nc,
         target_length=tl, num_mel_bins=128,
         num_extra_tokens=2, importance="cls", pooling="cls_dist",
@@ -613,6 +617,7 @@ def test_run_ast_pretrain_flags_change_behavior(tmp_path):
     pth = tmp_path / "deit.pth"
     torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, str(pth))
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=64, depth=2, num_heads=2, num_classes=4,
         target_length=128, num_mel_bins=128,
         num_extra_tokens=2, importance="cls", pooling="cls_dist",

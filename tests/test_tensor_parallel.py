@@ -15,6 +15,7 @@ from tpat_tpu.parallel import sharding as shd
 
 def cfg():
     return ViTConfig(
+        compute_dtype="float32",
         embed_dim=64,
         depth=2,
         num_heads=4,  # divisible by tp=4 for clean head partitioning
@@ -93,6 +94,7 @@ def test_trainmodule_2d_mesh_matches_single_device():
     from tpat_tpu.parallel import sharding as shd
 
     cfg = ViTConfig(
+        compute_dtype="float32",
         embed_dim=64, depth=3, num_heads=2, num_classes=4,
         target_length=64, num_mel_bins=32, drop_loc=(1,),
         base_keep_rate=0.6, drop_path_rate=0.0, attention_impl="fused",
@@ -149,6 +151,7 @@ def test_tp_guard_covers_all_pallas_impls():
 
     for impl in ("fused", "fused_padded"):
         cfg = ViTConfig(
+            compute_dtype="float32",
             embed_dim=64, depth=2, num_heads=2, num_classes=4,
             target_length=64, num_mel_bins=32, attention_impl=impl,
             drop_loc=(), base_keep_rate=1.0,

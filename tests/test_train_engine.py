@@ -29,6 +29,7 @@ def tiny_cfg(**kw):
     kw.setdefault("num_mel_bins", 32)
     kw.setdefault("drop_loc", (1,))
     kw.setdefault("drop_path_rate", 0.1)
+    kw.setdefault("compute_dtype", "float32")
     return ViTConfig(**kw)
 
 

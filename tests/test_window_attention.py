@@ -226,6 +226,7 @@ def test_mae_model_fused_matches_xla(rng):
         embed_dim=96, depth=2, num_heads=3, decoder_embed_dim=128,
         decoder_depth=2, decoder_num_heads=4, decoder_mode=1,
         target_length=128, num_mel_bins=128, window_size=(4, 4),
+        compute_dtype="float32",
     )
     cfg_x = MAEConfig(window_attention_impl="xla", **common)
     cfg_f = MAEConfig(window_attention_impl="fused", **common)
@@ -261,6 +262,7 @@ def test_mae_model_banded_matches_xla(rng):
         embed_dim=96, depth=2, num_heads=3, decoder_embed_dim=128,
         decoder_depth=2, decoder_num_heads=4, decoder_mode=1,
         target_length=256, num_mel_bins=128, window_size=(4, 4),
+        compute_dtype="float32",
     )
     cfg_x = MAEConfig(window_attention_impl="xla", **common)
     cfg_b = MAEConfig(window_attention_impl="banded", **common)

@@ -108,7 +108,11 @@ class ViTConfig:
     base_keep_rate: float = 1.0
 
     # Compute policy (TPU): bfloat16 matmuls, float32 softmax/accumulation.
-    compute_dtype: str = "float32"
+    # bfloat16 is the platform default (the reference's recipes all train
+    # under AMP, engine_finetune.py:102 autocast); float32 is the explicit
+    # override for parity tests and cross-checks — on the target chip the
+    # f32 train step measured ~35% slower (78.8 vs 58.6 ms, BENCH_NOTES).
+    compute_dtype: str = "bfloat16"
     # Pallas LayerNorm kernel for the block norms: measured SLOWER in
     # context on the target chip (XLA fuses its LN with the surrounding
     # residual adds; splitting it out costs more than it saves) — kept as

@@ -68,7 +68,9 @@ class MAEConfig:
     mask_2d: bool = False
     mask_t_prob: float = 0.7
     mask_f_prob: float = 0.3
-    compute_dtype: str = "float32"
+    # bfloat16 by default, matching ViTConfig (the platform's fast mode);
+    # float32 is the explicit parity/test override.
+    compute_dtype: str = "bfloat16"
     # 'auto' picks a fused Pallas window-attention kernel when the
     # geometry supports it (head_dim divides 128, dim % 128 == 0 —
     # true for the reference decoder: 512 dim, 16 heads): the

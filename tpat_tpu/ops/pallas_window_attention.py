@@ -89,8 +89,8 @@ def supports(
     """Packed-layout + VMEM feasibility for the dense-masked formulation.
 
     ``itemsize`` is the qkv dtype's byte width (2 for the bf16 compute
-    path, 4 for f32 — ``MAEConfig.compute_dtype`` defaults to float32,
-    so the caller must pass the real itemsize; f32 fails first on
+    path, 4 for f32 — the caller must pass the itemsize of the actual
+    compute dtype; f32 fails first on
     intermediate grids where bf16 still fits).  The backward is the
     binding case: 7 io blocks at the minimum batch group (g=1, always a
     divisor) plus TWO template-sized slabs (input template + the
