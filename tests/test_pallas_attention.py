@@ -101,7 +101,7 @@ def test_model_fused_matches_xla(rng):
     base = dict(
         embed_dim=128, depth=3, num_heads=2, num_classes=7,
         target_length=64, num_mel_bins=32, drop_loc=(1,),
-        base_keep_rate=0.6, drop_path_rate=0.0,
+        base_keep_rate=0.6, drop_path_rate=0.0, compute_dtype="float32",
     )
     cfg_x = ViTConfig(**base, attention_impl="xla")
     cfg_f = ViTConfig(**base, attention_impl="fused")
@@ -157,7 +157,7 @@ def test_model_fallback_at_vith_head_dim(rng):
     base = dict(
         embed_dim=160, depth=2, num_heads=2, num_classes=5,  # head_dim 80
         target_length=64, num_mel_bins=32, drop_loc=(0,),
-        base_keep_rate=0.6, drop_path_rate=0.0,
+        base_keep_rate=0.6, drop_path_rate=0.0, compute_dtype="float32",
     )
     x = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
     cfg_x = ViTConfig(**base, attention_impl="xla")
@@ -258,4 +258,119 @@ def test_lane_padded_kernel_matches_xla():
     g_xla = jax.grad(loss_xla)(qkv)
     np.testing.assert_allclose(
         np.asarray(g_pad), np.asarray(g_xla), rtol=5e-4, atol=5e-5
+    )
+
+
+# ---------------------------------------------------------------------------
+# CLS-split (n % 128 in {1, 2}): the lane-aligned key block + rank-1 tail
+# corrections must be EXACTLY the same softmax math as the full-width
+# kernel — these widths (129/257-style "+1 CLS") are where the split
+# actually engages (_split_r > 0); every earlier test in this file uses
+# n < 128 and so exercises only the unsplit path.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def cls_split(monkeypatch):
+    """Force-enable the opt-in CLS-split (production default is OFF —
+    measured slower on the target chip, see pallas_attention module
+    note — but the math must stay verified)."""
+    from tpat_tpu.ops import pallas_attention as pa
+
+    monkeypatch.setattr(pa, "_SPLIT_ENABLED", True)
+
+
+@pytest.mark.parametrize(
+    "mode,extra,n",
+    [("patch_mean", 1, 129), ("cls", 2, 130), (None, 1, 129)],
+)
+def test_cls_split_matches_xla(rng, cls_split, mode, extra, n):
+    from tpat_tpu.ops import pallas_attention as pa
+
+    assert pa._split_r(n) == n % 128
+    q, k, v = qkv(rng, n=n)
+    out_f, scores_f = fused_attention_with_scores(q, k, v, mode, extra)
+    out_x, scores_x = attention_with_scores(
+        q, k, v,
+        num_extra_tokens=extra,
+        importance=mode or "patch_mean",
+        need_scores=mode is not None,
+    )
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-6)
+    if mode is None:
+        assert scores_f is None
+    else:
+        np.testing.assert_allclose(
+            np.asarray(scores_f), np.asarray(scores_x), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_cls_split_matches_unsplit_kernel(rng, cls_split, monkeypatch):
+    """The split and full-width kernels are the same math modulo float
+    association — direct A/B at n = 129 (exercised
+    via the module flag the TPAT_CLS_SPLIT env knob sets)."""
+    from tpat_tpu.ops import pallas_attention as pa
+
+    q, k, v = qkv(rng, n=129)
+    out_s, scores_s = fused_attention_with_scores(q, k, v, "patch_mean", 1)
+    monkeypatch.setattr(pa, "_SPLIT_ENABLED", False)
+    out_u, scores_u = fused_attention_with_scores(q, k, v, "patch_mean", 1)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_u),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(scores_s), np.asarray(scores_u), rtol=1e-5, atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("mode,extra", [("patch_mean", 1), ("cls", 2)])
+def test_cls_split_gradients_match_xla(rng, cls_split, mode, extra):
+    q, k, v = qkv(rng, n=129 if extra == 1 else 130)
+
+    def loss_fused(q, k, v):
+        out, scores = fused_attention_with_scores(q, k, v, mode, extra)
+        return jnp.sum(out ** 2) + jnp.sum(scores * scores)
+
+    def loss_xla(q, k, v):
+        out, scores = attention_with_scores(
+            q, k, v, num_extra_tokens=extra, importance=mode,
+            need_scores=True,
+        )
+        return jnp.sum(out ** 2) + jnp.sum(scores * scores)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("kv", [70, 129, 130])
+def test_cls_split_prefix_matches_escape_hatch(rng, cls_split, monkeypatch, kv):
+    """Prefix (hybrid-anneal) form at a split width: kv=70 masks both
+    tail keys, kv=129 unmasks exactly one, kv=130 both — the tail-column
+    validity predicate (kv_valid > nb + j) has to agree with the XLA
+    escape hatch in all three regimes, forward and backward."""
+    from tpat_tpu.ops.pallas_attention import fused_qkv_attention_prefix
+
+    b, h, n, d, extra = 2, 2, 130, 64, 2
+    kept = kv - extra
+    qkv_packed = jnp.asarray(
+        rng.normal(size=(b, n, 3 * h * d)).astype(np.float32)
+    )
+    kv_valid = jnp.asarray(kv)
+
+    def loss(qkv_):
+        out, scores = fused_qkv_attention_prefix(
+            qkv_, kv_valid, h, "patch_mean", extra
+        )
+        l = jnp.sum(out[:, : extra + kept].astype(jnp.float32) ** 2)
+        return l + jnp.sum(scores[:, :kept] ** 2)
+
+    monkeypatch.delenv("TPAT_XLA_ATTENTION_BWD", raising=False)
+    g_kernel = jax.grad(loss)(qkv_packed)
+    monkeypatch.setenv("TPAT_XLA_ATTENTION_BWD", "1")
+    g_xla = jax.grad(loss)(qkv_packed)
+    np.testing.assert_allclose(
+        np.asarray(g_kernel), np.asarray(g_xla), rtol=2e-4, atol=1e-5
     )

@@ -43,6 +43,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
+# CLS-split: when n is just past a lane boundary (n % 128 in {1, 2} —
+# the "+1 CLS" 257/129-token widths of the pruning shape walk, or "+2"
+# for AST's cls+dist), the (n, n) probability tile pads its lane
+# dimension up a whole extra 128-tile (257 -> 384 lanes: 1.5x wasted
+# q@k'/exp/p@v work).  The split form computes the first nb = n - r keys
+# as an aligned 128-multiple block and folds each of the r tail keys in
+# as an exact rank-1 softmax correction (no approximation: the running
+# max/denominator include the tail logits).
+#
+# MEASURED SLOWER on the target chip -> OPT-IN (TPAT_CLS_SPLIT=1):
+# every (n, 1) column intermediate (tail logit, exp, normalized column,
+# outer-product factor) occupies a full 128-lane vector register, so the
+# ~10 rank-1 ops cost about as much as the block's entire elementwise
+# budget — +0.41 ms at w257 and +0.38 ms at w129 per forward invocation
+# (width-independent, i.e. fixed overhead), vs a 0.23 ms tile saving.
+# Numbers and the register-padding analysis: docs/BENCH_NOTES.md
+# "CLS-split rank-1 correction"; probe: scripts/probe_cls_split.py.
+# The math is exact and stays covered by tests (test_pallas_attention
+# "cls_split" block) so the variant remains available to future chips
+# with cheaper sub-lane vectors.
+import os as _os
+
+_SPLIT_ENABLED = _os.environ.get("TPAT_CLS_SPLIT", "0") == "1"
+_SPLIT_R_MAX = 2
+
+
+def _split_r(n: int) -> int:
+    """Tail-key count handled as rank-1 corrections (0 = no split)."""
+    r = n % LANES
+    if _SPLIT_ENABLED and 0 < r <= _SPLIT_R_MAX and n > LANES:
+        return r
+    return 0
+
 
 def _interpret() -> bool:
     """Run kernels in interpreter mode off-TPU (unit tests on CPU)."""
@@ -87,14 +120,18 @@ def supports(
 
 def _qkv_kernel(
     *refs,
-    scale, mode, extra, head_dim, heads_per_block, group, prefix,
+    scale, mode, extra, head_dim, heads_per_block, group, prefix, split,
 ):
     """Forward kernel.  When ``prefix`` is True the first ref is an SMEM
     scalar holding kv_valid — the number of valid tokens (extras + kept
     patches); keys at column >= kv_valid are masked out of the softmax and
     the 'patch_mean' reduction sums only valid patch-query rows.  The
     prefix form is what the hybrid anneal produces: after a bucket gather
-    the kept set is a contiguous prefix, identical for every sample."""
+    the kept set is a contiguous prefix, identical for every sample.
+
+    ``split`` (int, 0 = off): CLS-split — the first n - split keys run
+    through the lane-aligned block matmuls, the last ``split`` keys fold
+    in as exact rank-1 corrections (see module note at ``_split_r``)."""
     if prefix:
         kv_ref, q_ref, k_ref, v_ref, o_ref, colsum_ref = refs
         kv_valid = kv_ref[0]
@@ -102,9 +139,10 @@ def _qkv_kernel(
         q_ref, k_ref, v_ref, o_ref, colsum_ref = refs
         kv_valid = None
     n = q_ref.shape[1]
+    nb = n - split
     if prefix:
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        kmask = col < kv_valid  # (n, n) valid-key predicate
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, nb), 1)
+        kmask = col < kv_valid  # valid-key predicate over the block
         rvalid = (
             jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) < kv_valid
         ).astype(jnp.float32)
@@ -114,8 +152,8 @@ def _qkv_kernel(
             # keep matmul operands in the input dtype (bf16 runs the MXU
             # at full rate with f32 accumulation); softmax math in f32
             q = q_ref[b, :, sl]
-            k = k_ref[b, :, sl]
-            v = v_ref[b, :, sl]
+            k = k_ref[b, 0:nb, sl]
+            v = v_ref[b, 0:nb, sl]
             logits = (
                 jax.lax.dot_general(
                     q, k,
@@ -127,17 +165,68 @@ def _qkv_kernel(
             if prefix:
                 logits = jnp.where(kmask, logits, -1e30)
             m = jnp.max(logits, axis=-1, keepdims=True)
+            if split:
+                # one aligned (split, d) load for the tail keys/values;
+                # rank-1 logit columns against each.  VPU mul+reduce, not
+                # a (n, 1)-output dot_general: Mosaic's matmul lowering
+                # emits an invalid mixed-dtype vector.broadcast for the
+                # 1-row RHS (verified on hardware).
+                kt = k_ref[b, nb:n, sl].astype(jnp.float32)
+                vt = v_ref[b, nb:n, sl].astype(jnp.float32)
+                qf = q.astype(jnp.float32)
+                lt = []
+                for j in range(split):
+                    lj = (
+                        jnp.sum(qf * kt[j : j + 1], axis=-1, keepdims=True)
+                        * scale
+                    )  # (n, 1)
+                    if prefix:
+                        lj = jnp.where(kv_valid > nb + j, lj, -1e30)
+                    lt.append(lj)
+                    m = jnp.maximum(m, lj)
             p = jnp.exp(logits - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            if split:
+                pt = [jnp.exp(lj - m) for lj in lt]
+                for pj in pt:
+                    denom = denom + pj
             # reciprocal-multiply instead of an (n, n) broadcast divide:
             # VPU division is multi-cycle per element, the reciprocal is
             # only (n, 1)
-            p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
-            o_ref[b, :, sl] = jnp.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
-            ).astype(o_ref.dtype)
+            inv = 1.0 / denom
+            if split:
+                # defer normalization to the (n, d) output: one small
+                # multiply instead of an (n, nb) one
+                o = jnp.dot(
+                    p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                ) * inv
+                for j in range(split):
+                    o = o + (pt[j] * inv) * vt[j : j + 1]
+                o_ref[b, :, sl] = o.astype(o_ref.dtype)
+            else:
+                p = p * inv
+                o_ref[b, :, sl] = jnp.dot(
+                    p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                ).astype(o_ref.dtype)
 
             if mode == "patch_mean":
-                if prefix:
+                if split:
+                    # column sums of the normalized p over valid patch-
+                    # query rows, as a matvec: w = inv * rowmask
+                    row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+                    w = inv * (row >= extra).astype(jnp.float32)
+                    if prefix:
+                        w = w * rvalid
+                    cs = jax.lax.dot_general(
+                        w, p,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (1, nb)
+                    tail = [
+                        jnp.sum(w * pj, axis=0, keepdims=True) for pj in pt
+                    ]
+                    colsum_ref[b, hh] = jnp.concatenate([cs] + tail, axis=-1)
+                elif prefix:
                     # sum over VALID patch-query rows only (rows in
                     # [extra, kv_valid)); wrapper divides by h * valid
                     colsum_ref[b, hh] = jnp.sum(
@@ -150,7 +239,14 @@ def _qkv_kernel(
                         p, axis=0, keepdims=True
                     ) - jnp.sum(p[:extra], axis=0, keepdims=True)
             elif mode == "cls":
-                colsum_ref[b, hh] = p[0:1]
+                if split:
+                    colsum_ref[b, hh] = jnp.concatenate(
+                        [p[0:1] * inv[0:1]]
+                        + [pj[0:1] * inv[0:1] for pj in pt],
+                        axis=-1,
+                    )
+                else:
+                    colsum_ref[b, hh] = p[0:1]
             else:
                 colsum_ref[b, hh] = jnp.zeros((1, n), jnp.float32)
 
@@ -181,6 +277,7 @@ def _fused_qkv_impl(
         heads_per_block=hpb,
         group=g,
         prefix=prefix,
+        split=_split_r(n),
     )
 
     def spec(section):
@@ -274,7 +371,13 @@ def _qkv_bwd_kernel(
     packed layout.  ds_ref carries the (zero-padded-to-N) score cotangent,
     already scaled by 1/(H*P) ('patch_mean') or 1/H ('cls'); in prefix
     mode the wrapper pre-scales by the traced 1/(H*valid) instead and the
-    kernel recomputes p with the same key mask as the forward."""
+    kernel recomputes p with the same key mask as the forward.
+
+    The backward NEVER takes the CLS-split form, even under
+    TPAT_CLS_SPLIT=1: Mosaic rejects the tail-row (1, d) stores with
+    "Invalid input layout", and the custom_vjp recomputes p from qkv so a
+    full-width backward composes exactly with a split forward (both are
+    the same softmax, associativity aside)."""
     if prefix:
         kv_ref, q_ref, k_ref, v_ref, do_ref, ds_ref, dq_ref, dk_ref, dv_ref = refs
         kv_valid = kv_ref[0]
