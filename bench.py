@@ -176,7 +176,7 @@ def measure_pretrain_step(target_length: int = TARGET_LENGTH) -> float:
     return best
 
 
-def measure_serving_latency_b1() -> float:
+def measure_serving_latency_b1() -> tuple:
     """Batch-1 latency (ms) of the AOT serving artifact: export the
     flagship eval forward (ViT-B keep 0.7, bf16, fused attention) as a
     single-bucket ``jax.export`` program, reload it without the model
@@ -267,10 +267,13 @@ def measure_torch_cpu_baseline() -> tuple:
     if os.environ.get("TPAT_REMEASURE_BASELINE", "0") != "1":
         with open(BASELINE_PINNED) as f:
             pinned = json.load(f)
-        assert pinned["version"] == BASELINE_VERSION, (
-            "bench_baseline_pinned.json is stale: re-measure with "
-            "TPAT_REMEASURE_BASELINE=1 and update it"
-        )
+        if pinned["version"] != BASELINE_VERSION:  # not assert: must
+            # survive python -O — a silently-stale anchor is the exact
+            # failure the version field exists to prevent
+            raise RuntimeError(
+                "bench_baseline_pinned.json is stale: re-measure with "
+                "TPAT_REMEASURE_BASELINE=1 and update it"
+            )
         return pinned["clips_per_sec"], "pinned"
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:

@@ -398,6 +398,54 @@ def test_checkpoint_async_matches_sync(tmp_path):
     assert ckpt_lib.restore_checkpoint(str(tmp_path / "last"))["epoch"] == 3
 
 
+def test_checkpoint_async_failed_save_keeps_previous_best(
+    tmp_path, monkeypatch
+):
+    """The keeper's crash-safety contract (checkpoint.py update docstring):
+    a failed save must not lose BOTH checkpoints.  In the async path the
+    prune rides the writer queue as a separate job, so it must check the
+    save future's outcome — otherwise a serialize error (disk full) would
+    still delete the previous best."""
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=4, epochs=1, warmup_epochs=0)
+    mod = make_module(cfg, tc)
+    batches = synthetic_batches(1, 4, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+
+    keeper = ckpt_lib.BestCheckpointKeeper(
+        str(tmp_path / "scratch"), str(tmp_path / "out"), async_save=True
+    )
+    assert keeper.update(0.5, state, epoch=0)
+    ckpt_lib.wait_for_checkpoints()  # epoch-0 best committed for real
+
+    real_checkpointer = ckpt_lib._checkpointer
+
+    class _DiskFull:
+        def save(self, path, payload, force=True):
+            raise OSError("scratch ramdisk full")
+
+    monkeypatch.setattr(ckpt_lib, "_checkpointer", lambda: _DiskFull())
+    assert keeper.update(0.7, state, epoch=2)  # save fails on the writer
+    with pytest.raises(OSError, match="ramdisk full"):
+        ckpt_lib.wait_for_checkpoints()
+    # the previous best SURVIVED the failed save (and the failed epoch-2
+    # checkpoint never materialized)
+    assert sorted(
+        p for p in os.listdir(tmp_path / "scratch")
+        if p.startswith("checkpoint-")
+    ) == ["checkpoint-000"]
+    # finalize() re-raises the same failure (its futures list still holds
+    # the failed save), so the caller cannot silently lose the run
+    with pytest.raises(OSError, match="ramdisk full"):
+        keeper.finalize()
+    # the surviving checkpoint stays restorable with the real checkpointer
+    monkeypatch.setattr(ckpt_lib, "_checkpointer", real_checkpointer)
+    restored = ckpt_lib.restore_checkpoint(
+        str(tmp_path / "scratch" / "checkpoint-000")
+    )
+    assert restored["epoch"] == 0
+
+
 def test_evaluate_multilabel_with_extraction(tmp_path):
     """AudioSet-style mAP eval with feature extraction (the reference's
     evaluate_audioset extraction path, engine_finetune.py:233-256)."""

@@ -46,7 +46,24 @@ def get_parser():
     return p
 
 
+def _parse_batch_sizes(raw) -> list:
+    """Validate --batch_size up front, BEFORE the expensive checkpoint
+    restore / model init: bad values must fail in milliseconds."""
+    try:
+        batches = [int(b) for b in str(raw).split(",") if b.strip()]
+    except ValueError:
+        batches = []
+    if not batches or any(b < 1 for b in batches):
+        raise SystemExit(
+            f"--batch_size must be one or more positive ints "
+            f"(comma-separated), got {raw!r}"
+        )
+    return batches
+
+
 def main(args):
+    batches = _parse_batch_sizes(args.batch_size)
+
     import jax
     import numpy as np
 
@@ -87,12 +104,6 @@ def main(args):
         params = restore_checkpoint(path)["params"]
     params = jax.tree_util.tree_map(np.asarray, params)
 
-    batches = [int(b) for b in str(args.batch_size).split(",") if b.strip()]
-    if not batches or any(b < 1 for b in batches):
-        raise SystemExit(
-            f"--batch_size must be one or more positive ints "
-            f"(comma-separated), got {args.batch_size!r}"
-        )
     # input orientation follows the family: AudioMAE (B,1,T,F); AST
     # (B,1,F,T) (ast_models.py:434-436)
     if cfg.pos_embed_mode == "pre_cls":

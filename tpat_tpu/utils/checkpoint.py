@@ -208,7 +208,11 @@ class BestCheckpointKeeper:
         new_name = f"checkpoint-{epoch:03d}"
         new_path = os.path.join(self.scratch_dir, new_name)
 
-        def prune():
+        def prune(save_fut: Optional[Future] = None):
+            # Save-before-delete is the crash-safety contract (docstring
+            # above): if the save failed, the previous best must survive.
+            if save_fut is not None and save_fut.exception() is not None:
+                return
             for old in os.listdir(self.scratch_dir):
                 if old.startswith("checkpoint-") and old != new_name:
                     shutil.rmtree(
@@ -225,11 +229,11 @@ class BestCheckpointKeeper:
             # deferred _to_host reads deleted arrays.
             # save_checkpoint(background=True) fetches eagerly and only
             # defers the orbax serialize+commit; the prune rides the same
-            # single-worker executor, so save-before-prune ordering holds.
-            self._futures.append(
-                save_checkpoint(new_path, state, epoch, background=True)
-            )
-            fut = _writer().submit(prune)
+            # single-worker executor, so save-before-prune ordering holds
+            # and ``save_fut`` is already resolved when prune runs.
+            save_fut = save_checkpoint(new_path, state, epoch, background=True)
+            self._futures.append(save_fut)
+            fut = _writer().submit(prune, save_fut)
             with _WRITER_LOCK:
                 _PENDING.append(fut)
             self._futures.append(fut)
