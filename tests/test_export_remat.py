@@ -364,7 +364,7 @@ def test_export_serving_cli(tmp_path):
     # IndexError / opaque export error downstream
     import pytest
 
-    for bad in ("", ",", "0", "2,0", "-1"):
+    for bad in ("", ",", "0", "2,0", "-1", "8x"):
         with pytest.raises(SystemExit, match="batch_size"):
             main(get_parser().parse_args([
                 "--model", "audiomae_vit_tiny", "--dataset", "esc50",
@@ -373,3 +373,55 @@ def test_export_serving_cli(tmp_path):
                 "--finetuned_model_path", str(tmp_path / "ckpt"),
                 "--batch_size", bad, "--out_dir", str(tmp_path / "bad"),
             ]))
+
+
+def test_convert_cli_orbax_to_pth(tmp_path, rng):
+    """tpat-convert closes the migration round-trip (MIGRATION.md
+    "Checkpoints"): an orbax best_model converts to a reference-layout
+    .pth whose re-import reproduces the original logits; AST and MAE
+    trees auto-detect their flavor."""
+    import torch
+
+    from tpat_tpu.cli.convert import detect_flavor, get_parser, main
+    from tpat_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = base_cfg()
+    params = _params(cfg)
+
+    class S:
+        pass
+
+    s = S()
+    s.params = params
+    s.opt_state = {}
+    s.step = jnp.zeros((), jnp.int32)
+    save_checkpoint(str(tmp_path / "best_model"), s, epoch=11)
+
+    out = main(get_parser().parse_args([
+        "--checkpoint", str(tmp_path / "best_model"),
+        "--out", str(tmp_path / "best_model.pth"),
+    ]))
+    raw = torch.load(out, map_location="cpu", weights_only=False)
+    assert raw["epoch"] == 11 and "model" in raw  # reference envelope
+
+    sd = ti.load_torch_state_dict(out)
+    back = ti.audiomae_params_from_state_dict(
+        sd, cfg, ckpt_grid=(cfg.grid_f, cfg.grid_t)
+    )
+    merged = ti.overlay_params(params, back)
+    x = jnp.asarray(rng.normal(size=(2, 1, 64, 32)).astype(np.float32))
+    out_a = AudioViT(cfg).apply({"params": params}, x)
+    out_b = AudioViT(cfg).apply({"params": merged}, x)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-6)
+
+    # flavor auto-detection on the other trees
+    assert detect_flavor({"dist_token": 0, "cls_token": 0}) == "ast"
+    assert detect_flavor({"decoder_embed": 0, "cls_token": 0}) == "mae"
+    assert detect_flavor(params) == "audiomae"
+
+    # a .pth input is rejected with a pointer at the right flag
+    with pytest.raises(SystemExit, match="orbax checkpoint directory"):
+        main(get_parser().parse_args([
+            "--checkpoint", str(tmp_path / "best_model.pth"),
+            "--out", str(tmp_path / "x.pth"),
+        ]))

@@ -28,7 +28,7 @@ def pyproject():
 def test_console_script_targets_resolve(pyproject):
     scripts = pyproject["project"]["scripts"]
     # one per reference entry point + the serving exporter
-    assert len(scripts) == 8
+    assert len(scripts) == 9
     for name, target in scripts.items():
         mod_name, func_name = target.split(":")
         mod = importlib.import_module(mod_name)
