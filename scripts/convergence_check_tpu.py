@@ -18,6 +18,16 @@ Two protocols:
    without the real datasets.  Results: docs/BENCH_NOTES.md
    "North-star proxy".
 
+   SpecAug is DISABLED in both arms (--freqm 0 --timem 0).  The
+   reference turns augs off only when ``keep < 1.0 and epoch >=
+   shrink_start_epoch`` (main_finetune.py:517-521), so with augs on the
+   pruned arm trains 32/40 epochs aug-free while the dense arm gets
+   frequency masking the whole way — and on THIS corpus class identity
+   *is* a frequency bin, so freq masking erases the label and the
+   confound dominates (first attempt measured dense 69.0 vs pruned
+   85.5).  Zeroing SpecAug in both arms isolates the effect the claim
+   is about: what token pruning itself costs in accuracy.
+
 Usage:
   PYTHONPATH=.:$PYTHONPATH python scripts/convergence_check_tpu.py
   PYTHONPATH=.:$PYTHONPATH python scripts/convergence_check_tpu.py --twin
@@ -140,6 +150,11 @@ def run_twin_check(wd, epochs=40):
         "--device_frontend", "true", "--num_workers", "4",
         "--epochs", str(epochs), "--blr", "1e-3", "--warmup_epochs", "4",
         "--drop_loc", "(3, 6, 9)",
+        # No SpecAug in either arm — see the module docstring: the
+        # reference's keep<1.0-gated aug cutoff otherwise gives the two
+        # arms different augmentation schedules on a corpus where freq
+        # masking erases the label.
+        "--freqm", "0", "--timem", "0",
     ]
     results = {}
     for arm, keep in (("pruned", 0.7), ("dense", 1.0)):
