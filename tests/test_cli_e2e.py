@@ -90,6 +90,73 @@ def test_finetune_cli_full_loop(corpus, tmp_path):
     assert len(taus) == 6 and all(-1 <= t <= 1 for t in taus)
 
 
+def test_finetuned_pth_roundtrip_eval(corpus, tmp_path):
+    """The full interchange loop on a TRAINED model: finetune ->
+    tpat-convert (orbax -> reference-layout .pth) -> eval from the .pth
+    reproduces the orbax best_model's accuracy exactly, and
+    export_serving loads the same .pth.
+
+    Regression: a finetuned checkpoint carries the MODEL-geometry pos
+    embed — the reference loads it strict=True with NO crop surgery
+    (main_finetune.py:424-426) — but the .pth leg used to route through
+    the AudioSet-pretrain (8, 64) crop, crashing on any geometry with
+    grid_t != 64 (every target_length != 1024)."""
+    from tpat_tpu.cli.convert import get_parser as cvt_parser
+    from tpat_tpu.cli.convert import main as cvt_main
+    from tpat_tpu.cli.finetune import get_args_parser, main
+
+    out = tmp_path / "out"
+    argv = [
+        "--dataset", "esc50", "--model", "audiomae_vit_tiny",
+        "--target_length", "128",
+        "--data_train", str(corpus / "train.json"),
+        "--data_eval", str(corpus / "eval.json"),
+        "--label_csv", str(corpus / "labels.csv"),
+        "--nb_classes", "4", "--batch_size", "8", "--epochs", "2",
+        "--blr", "2e-3", "--warmup_epochs", "1",
+        "--base_keep_rate", "0.6", "--drop_loc", "(1, 3)",
+        "--shrink_start_epoch", "1", "--shrink_epochs", "1",
+        "--output_dir", str(out),
+        "--result_path", str(tmp_path / "result.txt"),
+        "--num_workers", "2",
+    ]
+    main(get_args_parser().parse_args(argv))
+
+    def eval_from(path, tag):
+        main(get_args_parser().parse_args(argv[: argv.index("--output_dir")] + [
+            "--output_dir", str(out),
+            "--eval", "--finetuned_model_path", str(path),
+            "--result_path", str(tmp_path / f"{tag}.txt"),
+        ]))
+        return float(open(tmp_path / f"{tag}.txt").read())
+
+    acc_orbax = eval_from(out / "best_model", "eval_orbax")
+
+    pth = tmp_path / "best.pth"
+    cvt_main(cvt_parser().parse_args([
+        "--checkpoint", str(out / "best_model"), "--out", str(pth),
+    ]))
+    acc_pth = eval_from(pth, "eval_pth")
+    assert acc_pth == acc_orbax
+
+    # the second fixed call site: export_serving from the same .pth
+    from tpat_tpu.cli.export_serving import get_parser as exp_parser
+    from tpat_tpu.cli.export_serving import main as exp_main
+    from tpat_tpu.utils import serving
+
+    artifact = exp_main(exp_parser().parse_args([
+        "--model", "audiomae_vit_tiny", "--dataset", "esc50",
+        "--nb_classes", "4", "--target_length", "128",
+        "--base_keep_rate", "0.6", "--drop_loc", "(1, 3)",
+        "--finetuned_model_path", str(pth),
+        "--batch_size", "2", "--out_dir", str(tmp_path / "artifact"),
+    ]))
+    fn, _meta = serving.load_forward(artifact)
+    assert np.asarray(
+        fn(np.zeros((2, 1, 128, 128), np.float32))
+    ).shape == (2, 4)
+
+
 def test_run_ast_cli(corpus, tmp_path):
     from tpat_tpu.cli.run_ast import get_parser, main
 

@@ -94,7 +94,12 @@ def main(args):
         if cfg.num_extra_tokens == 2:
             imported = ti.ast_params_from_state_dict(sd, cfg)
         else:
-            imported = ti.audiomae_params_from_state_dict(sd, cfg)
+            # finetuned checkpoints carry the model-geometry pos embed;
+            # no crop surgery (reference loads them strict=True,
+            # main_finetune.py:424-426)
+            imported = ti.audiomae_params_from_state_dict(
+                sd, cfg, ckpt_grid=(cfg.grid_f, cfg.grid_t)
+            )
         import jax.numpy as jnp
 
         x0 = jnp.zeros((1, 1, cfg.target_length, cfg.num_mel_bins))

@@ -381,7 +381,15 @@ def load_params(args, model, model_cfg):
             if model_cfg.num_extra_tokens == 2:
                 imported = ti.ast_params_from_state_dict(sd, model_cfg)
             else:
-                imported = ti.audiomae_params_from_state_dict(sd, model_cfg)
+                # a finetuned checkpoint is at the model geometry already —
+                # the reference loads it strict=True with NO pos-embed
+                # surgery (main_finetune.py:424-426).  Passing the model
+                # grid makes the crop a no-op while the importer's row
+                # check still enforces the strict shape match.
+                imported = ti.audiomae_params_from_state_dict(
+                    sd, model_cfg,
+                    ckpt_grid=(model_cfg.grid_f, model_cfg.grid_t),
+                )
             params = ti.overlay_params(params, imported)
         else:  # orbax dir saved by this framework
             restored = ckpt_lib.restore_checkpoint(path)
