@@ -253,6 +253,14 @@ BASELINE_PINNED = os.path.join(
 )
 
 
+class StaleAnchorError(RuntimeError):
+    """The committed anchor's methodology version no longer matches
+    BASELINE_VERSION.  Raised instead of silently using the stale value;
+    main() surfaces it INSIDE the emitted JSON (baseline_source carries
+    the error), so the driver record shouts rather than showing a quiet
+    null that reads like a transient measurement failure."""
+
+
 def measure_torch_cpu_baseline() -> tuple:
     """Dense torch-CPU ViT-B forward on the same geometry — the reference
     stack's CPU-runnable anchor (BASELINE.json configs[0]).
@@ -270,7 +278,7 @@ def measure_torch_cpu_baseline() -> tuple:
         if pinned["version"] != BASELINE_VERSION:  # not assert: must
             # survive python -O — a silently-stale anchor is the exact
             # failure the version field exists to prevent
-            raise RuntimeError(
+            raise StaleAnchorError(
                 "bench_baseline_pinned.json is stale: re-measure with "
                 "TPAT_REMEASURE_BASELINE=1 and update it"
             )
@@ -368,6 +376,11 @@ def main():
     value = measure_tpat()
     try:
         baseline, baseline_source = measure_torch_cpu_baseline()
+    except StaleAnchorError as e:
+        # the version guard must not be neutralized by the blanket
+        # handler below: record the staleness in the JSON itself
+        print(f"baseline anchor stale: {e}", file=sys.stderr)
+        baseline, baseline_source = None, f"error: {e}"
     except Exception as e:  # baseline failure must not kill the bench
         print(f"baseline measurement failed: {e}", file=sys.stderr)
         baseline, baseline_source = None, None

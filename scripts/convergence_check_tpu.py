@@ -34,7 +34,6 @@ Usage:
 """
 
 import argparse
-import json
 import math
 import os
 import sys
@@ -44,7 +43,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from e2e_chain_tpu import make_corpus, save_wav  # noqa: E402  (scripts/ sibling)
+from e2e_chain_tpu import make_corpus, write_corpus  # noqa: E402  (scripts/ sibling)
 
 import numpy as np  # noqa: E402
 
@@ -56,14 +55,12 @@ def make_twin_corpus(root, n_classes=50, train_per_class=12, eval_per_class=4,
     per-sample random harmonic amplitudes, and heavy broadband noise.
     Class identity is carried by pitch alone — the model has to resolve
     fine mel-bin structure through the pruning."""
-    os.makedirs(root, exist_ok=True)
     sr = 16000
     rng = np.random.default_rng(seed)
-    entries = {"train": [], "eval": []}
-    for split, per in (("train", train_per_class), ("eval", eval_per_class)):
-        i = 0
+
+    def clips(per_class):
         for cls in range(n_classes):
-            for _ in range(per):
+            for _ in range(per_class):
                 f0 = 110.0 * 2 ** (cls / 12.0)  # semitone ladder
                 f0 *= 2 ** (rng.uniform(-0.3, 0.3) / 12.0)  # +-30 cents
                 t = np.arange(int(sr * seconds)) / sr
@@ -73,18 +70,10 @@ def make_twin_corpus(root, n_classes=50, train_per_class=12, eval_per_class=4,
                     ph = rng.uniform(0, 2 * math.pi)
                     wave += amp * np.sin(2 * math.pi * h * f0 * t + ph)
                 wave += 0.20 * rng.normal(size=t.shape)
-                path = os.path.join(root, f"{split}{i:05d}.wav")
-                save_wav(path, wave.astype(np.float32), sr)
-                entries[split].append({"wav": path, "labels": f"/m/{cls:03d}"})
-                i += 1
-    json.dump({"data": entries["train"]},
-              open(os.path.join(root, "train.json"), "w"))
-    json.dump({"data": entries["eval"]},
-              open(os.path.join(root, "eval.json"), "w"))
-    with open(os.path.join(root, "labels.csv"), "w") as f:
-        f.write("index,mid,display_name\n")
-        for c in range(n_classes):
-            f.write(f'{c},/m/{c:03d},"tone {c}"\n')
+                yield wave, cls
+
+    write_corpus(root, n_classes, {"train": clips(train_per_class),
+                                   "eval": clips(eval_per_class)}, sr=sr)
 
 
 def run_tiny_check(wd):
@@ -185,14 +174,88 @@ def run_twin_check(wd, epochs=40):
     return results
 
 
+def run_twin_ast_check(wd, epochs=40, model_size="base384", lr=1e-3):
+    """North-star proxy for the AST flavor (CLS-importance pruning, 2
+    extra tokens, Adam + MultiStepLR recipe) — same twin corpus and
+    protocol as run_twin_check, driven through the real ``cli.run_ast``.
+    From-scratch (no DeiT/AudioSet checkpoints exist here), so the LR is
+    NOT ast_run_esc.sh's finetune 1e-5: single-arm probes on this corpus
+    measured 2.5e-4 (the AudioMAE twin's resolved AdamW lr) learning ~10x
+    too slowly under the AST recipe's plain Adam + CLS/dist pooling —
+    see the BENCH_NOTES protocol note.  Staircase decay from epoch 20 at
+    0.85/epoch; no warmup (the reference's 1000-step table outlasts this
+    corpus's whole run).  SpecAug zeroed in both arms for the same
+    reason as the AudioMAE twin (module docstring)."""
+    corpus = os.path.join(wd, "corpus")
+    if not os.path.exists(os.path.join(corpus, "train.json")):
+        t0 = time.time()
+        make_twin_corpus(corpus)
+        print(f"[twin-ast] corpus built in {time.time() - t0:.0f}s", flush=True)
+
+    from tpat_tpu.cli import run_ast as ra
+
+    # tiny_debug (depth 6) is the plumbing smoke; drop_loc must fit
+    drop_loc = "(3, 6, 9)" if model_size == "base384" else "(1, 3)"
+    common = [
+        "--dataset", "esc50", "--n_class", "50", "--audio_length", "512",
+        "--model_size", model_size,
+        "--data-train", os.path.join(corpus, "train.json"),
+        "--data-val", os.path.join(corpus, "eval.json"),
+        "--label-csv", os.path.join(corpus, "labels.csv"),
+        "-b", "64", "-w", "4",
+        "--n-epochs", str(epochs),
+        "--lr", str(lr), "--warmup", "False",
+        "--lrscheduler_start", "20", "--lrscheduler_step", "1",
+        "--lrscheduler_decay", "0.85",
+        "--metrics", "acc", "--loss", "CE", "--mixup", "0",
+        "--dataset_mean", "-6.6268077", "--dataset_std", "5.358466",
+        "--imagenet_pretrain", "False", "--audioset_pretrain", "False",
+        "--drop_loc", drop_loc,
+        "--freqm", "0", "--timem", "0",
+    ]
+    results = {}
+    for arm, keep in (("pruned", 0.7), ("dense", 1.0)):
+        exp = os.path.join(wd, f"ast_{arm}")
+        args = common + [
+            "--base_keep_rate", str(keep), "--exp-dir", exp,
+        ]
+        if keep < 1.0:
+            # 8 -> 8 at the full 40 epochs, scaled down for smoke runs
+            s = str(max(2, epochs // 5))
+            args += ["--shrink_start_epoch", s, "--shrink_epochs", s]
+        # dense arm: leave the 999/999 defaults (run.py's own dense idiom)
+        t0 = time.time()
+        best = ra.main(ra.get_parser().parse_args(args))
+        dt = time.time() - t0
+        results[arm] = float(best) * 100.0  # run_ast scores are 0..1
+        print(f"[twin-ast] {arm} (keep {keep}): best acc1 "
+              f"{results[arm]:.2f} in {dt:.0f}s", flush=True)
+
+    delta = results["dense"] - results["pruned"]
+    print(f"[twin-ast] dense {results['dense']:.2f}  "
+          f"pruned {results['pruned']:.2f}  delta {delta:+.2f} points "
+          f"(claim: <1 point at 30-40% MAC cut)", flush=True)
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir", nargs="?", default=None)
     ap.add_argument("--twin", action="store_true",
                     help="north-star proxy: dense-vs-pruned ViT-B twins")
+    ap.add_argument("--twin-ast", action="store_true",
+                    help="north-star proxy, AST flavor via cli.run_ast")
     ap.add_argument("--epochs", type=int, default=40, help="twin epochs")
+    ap.add_argument("--model_size", type=str, default="base384",
+                    help="twin-ast model size (tiny_debug for smoke)")
+    ap.add_argument("--ast_lr", type=float, default=1e-3,
+                    help="twin-ast from-scratch Adam lr (probed)")
     args = ap.parse_args()
-    if args.twin:
+    if args.twin_ast:
+        run_twin_ast_check(args.workdir or "/tmp/tpat_twin_ast_r4",
+                           epochs=args.epochs, model_size=args.model_size,
+                           lr=args.ast_lr)
+    elif args.twin:
         run_twin_check(args.workdir or "/tmp/tpat_twin_r4", epochs=args.epochs)
     else:
         run_tiny_check(args.workdir or "/tmp/tpat_conv_r4")

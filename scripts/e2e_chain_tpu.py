@@ -28,12 +28,35 @@ import numpy as np
 from tpat_tpu.data.wav import save_wav
 
 
-def make_corpus(root, n_train=256, n_eval=64, n_classes=50, seconds=5.0):
+def write_corpus(root, n_classes, splits, sr=16000):
+    """Single source of truth for the synthetic-corpus layout every TPU
+    script shares: wav files + train/eval manifest JSONs in the dataset
+    schema AudiosetDataset consumes (SURVEY §2.2 #14: {"data": [{"wav",
+    "labels": "/m/NNN"}]}) + the index,mid,display_name labels.csv.
+
+    ``splits``: {"train": iterable of (wave_f32, cls), "eval": ...} — the
+    caller supplies only the waveform synthesis.
+    """
     os.makedirs(root, exist_ok=True)
+    for split, clips in splits.items():
+        rows = []
+        for i, (wave, cls) in enumerate(clips):
+            path = os.path.join(root, f"{split}{i:05d}.wav")
+            save_wav(path, wave.astype(np.float32), sr)
+            rows.append({"wav": path, "labels": f"/m/{cls:03d}"})
+        json.dump({"data": rows},
+                  open(os.path.join(root, f"{split}.json"), "w"))
+    with open(os.path.join(root, "labels.csv"), "w") as f:
+        f.write("index,mid,display_name\n")
+        for c in range(n_classes):
+            f.write(f'{c},/m/{c:03d},"tone {c}"\n')
+
+
+def make_corpus(root, n_train=256, n_eval=64, n_classes=50, seconds=5.0):
     sr = 16000
     rng = np.random.default_rng(0)
-    entries = {"train": [], "eval": []}
-    for split, n in (("train", n_train), ("eval", n_eval)):
+
+    def clips(n):
         for i in range(n):
             cls = i % n_classes
             t = np.arange(int(sr * seconds)) / sr
@@ -41,15 +64,10 @@ def make_corpus(root, n_train=256, n_eval=64, n_classes=50, seconds=5.0):
             wave = 0.35 * np.sin(2 * math.pi * f0 * t)
             wave += 0.15 * np.sin(2 * math.pi * (2.5 * f0) * t)
             wave += 0.03 * rng.normal(size=t.shape)
-            path = os.path.join(root, f"{split}{i:04d}.wav")
-            save_wav(path, wave.astype(np.float32), sr)
-            entries[split].append({"wav": path, "labels": f"/m/{cls:03d}"})
-    json.dump({"data": entries["train"]}, open(os.path.join(root, "train.json"), "w"))
-    json.dump({"data": entries["eval"]}, open(os.path.join(root, "eval.json"), "w"))
-    with open(os.path.join(root, "labels.csv"), "w") as f:
-        f.write("index,mid,display_name\n")
-        for c in range(n_classes):
-            f.write(f'{c},/m/{c:03d},"tone {c}"\n')
+            yield wave, cls
+
+    write_corpus(root, n_classes,
+                 {"train": clips(n_train), "eval": clips(n_eval)}, sr=sr)
 
 
 def main():

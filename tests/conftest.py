@@ -67,10 +67,23 @@ _SMOKE = {
 }
 
 
-def pytest_collection_modifyitems(items):
+def pytest_collection_modifyitems(session, items):
+    matched = set()
     for item in items:
         # strip any parametrize suffix so "file::func" matches every
         # parameter instance of a parametrized entry
         rel = item.nodeid.split("tests/")[-1].split("[")[0]
         if rel in _SMOKE:
             item.add_marker(pytest.mark.smoke)
+            matched.add(rel)
+    # A renamed/moved test must fail collection loudly, not silently
+    # shrink the smoke tier's subsystem coverage.  Only enforce on full
+    # collections — `pytest tests/test_foo.py` legitimately sees a subset.
+    collected_files = {item.nodeid.split("tests/")[-1].split("::")[0]
+                       for item in items}
+    stale = {s for s in _SMOKE - matched
+             if s.split("::")[0] in collected_files}
+    if stale:
+        raise pytest.UsageError(
+            f"_SMOKE entries match no collected test (renamed?): {stale}"
+        )

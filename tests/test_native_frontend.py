@@ -113,7 +113,7 @@ def test_native_fbank_thread_scaling():
     GIL-free kernel when cores allow on the claim that it parallelizes
     under the loader's thread pool — validate that claim wherever this
     test runs on a multi-core host: 4 threads must beat 1 thread by
-    well over the no-scaling ratio (>= 2x here; near-linear is typical
+    well over the no-scaling ratio (>= 1.5x here; near-linear is typical
     for a GIL-free kernel).  Skips on single-core hosts (the image this
     framework is built in has one core), activating automatically on
     real TPU-VM hosts."""
@@ -151,7 +151,11 @@ def test_native_fbank_thread_scaling():
     per_clip_1 = min(run_batch(1) for _ in range(3))
     per_clip_4 = min(run_batch(4) for _ in range(3))
     speedup = per_clip_1 / per_clip_4
-    assert speedup >= 2.0, (
+    # 1.5x, not the ~4x a GIL-free kernel typically shows: the bound must
+    # separate "scales" from "GIL-serialized" (<=1.0x) without flaking on
+    # hosts whose other cores are busy (a concurrent build can halve the
+    # effective core count across all three min-of repeats)
+    assert speedup >= 1.5, (
         f"native fbank does not scale under threads: 1t {per_clip_1*1e3:.2f} "
         f"ms/clip vs 4t {per_clip_4*1e3:.2f} ms/clip (speedup {speedup:.2f}x)"
     )

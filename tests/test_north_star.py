@@ -14,13 +14,14 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from tpat_tpu.config import audiomae_vit_base
+from tpat_tpu.config import ast_vit_base, audiomae_vit_base
 from tpat_tpu.models.vit import AudioViT
 
 
-def _compiled_flops(keep_rate: float) -> float:
+def _compiled_flops(keep_rate: float, flavor: str = "audiomae") -> float:
     """FLOPs of the jit-compiled b1 eval forward per XLA cost analysis."""
-    cfg = audiomae_vit_base(
+    factory = {"audiomae": audiomae_vit_base, "ast": ast_vit_base}[flavor]
+    cfg = factory(
         target_length=512,
         num_classes=50,
         base_keep_rate=keep_rate,
@@ -32,7 +33,11 @@ def _compiled_flops(keep_rate: float) -> float:
         attention_impl="xla",
     )
     model = AudioViT(cfg)
-    x = jnp.zeros((1, 1, cfg.target_length, cfg.num_mel_bins))
+    if flavor == "ast":
+        # AST input orientation (B, 1, F, T) — ast_models.py:434-436
+        x = jnp.zeros((1, 1, cfg.num_mel_bins, cfg.target_length))
+    else:
+        x = jnp.zeros((1, 1, cfg.target_length, cfg.num_mel_bins))
     params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
     fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
     compiled = fwd.lower(params, x).compile()
@@ -52,3 +57,15 @@ def test_pruning_flop_reduction_matches_readme_claim():
     assert 0.30 <= red_07 <= 0.40, f"keep-0.7 FLOP reduction {red_07:.3f}"
     assert red_05 > red_07, f"keep-0.5 must prune more: {red_05:.3f}"
     assert red_05 >= 0.45, f"keep-0.5 FLOP reduction {red_05:.3f}"
+
+
+@pytest.mark.slow
+def test_ast_flavor_flop_reduction_matches_readme_claim():
+    """The claim spans both of the reference's model families; pin the
+    AST flavor (CLS importance, 2 extra tokens, post_cat pos embed) at
+    its ESC-50 operating point (ast_run_esc.sh: keep 0.7, drop (3,6,9),
+    audio_length 512) to the same 30-40% band."""
+    dense = _compiled_flops(1.0, flavor="ast")
+    pruned = _compiled_flops(0.7, flavor="ast")
+    red = 1.0 - pruned / dense
+    assert 0.30 <= red <= 0.40, f"AST keep-0.7 FLOP reduction {red:.3f}"

@@ -434,16 +434,21 @@ def test_checkpoint_async_failed_save_keeps_previous_best(
         p for p in os.listdir(tmp_path / "scratch")
         if p.startswith("checkpoint-")
     ) == ["checkpoint-000"]
-    # finalize() re-raises the same failure (its futures list still holds
-    # the failed save), so the caller cannot silently lose the run
+    # the failed save ROLLED BACK best tracking (prune's re-arm): the
+    # phantom 0.7 must not block a later 0.6 that can actually commit —
+    # otherwise the run ends with only the stale epoch-0 checkpoint
+    assert (keeper.best_score, keeper.best_epoch) == (0.5, 0)
+    monkeypatch.setattr(ckpt_lib, "_checkpointer", real_checkpointer)
+    assert keeper.update(0.6, state, epoch=3)  # re-armed -> saves for real
+    # finalize() re-raises the failure (its futures list still holds the
+    # failed save) so the caller cannot silently lose the run — but only
+    # AFTER securing the best committed checkpoint in the output dir
     with pytest.raises(OSError, match="ramdisk full"):
         keeper.finalize()
-    # the surviving checkpoint stays restorable with the real checkpointer
-    monkeypatch.setattr(ckpt_lib, "_checkpointer", real_checkpointer)
-    restored = ckpt_lib.restore_checkpoint(
-        str(tmp_path / "scratch" / "checkpoint-000")
-    )
-    assert restored["epoch"] == 0
+    markers = [p for p in os.listdir(tmp_path / "out") if p.startswith("best-")]
+    assert markers == ["best-003-0.6000.txt"]
+    restored = ckpt_lib.restore_checkpoint(str(tmp_path / "out" / "best_model"))
+    assert restored["epoch"] == 3
 
 
 def test_evaluate_multilabel_with_extraction(tmp_path):

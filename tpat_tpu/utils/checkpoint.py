@@ -203,6 +203,7 @@ class BestCheckpointKeeper:
         to crash-safety (a rename frees nothing) — so size a ramdisk
         scratch dir for two checkpoints, not one.
         """
+        prev = (self.best_score, self.best_epoch)
         if not self.track(score, epoch):
             return False
         new_name = f"checkpoint-{epoch:03d}"
@@ -212,6 +213,23 @@ class BestCheckpointKeeper:
             # Save-before-delete is the crash-safety contract (docstring
             # above): if the save failed, the previous best must survive.
             if save_fut is not None and save_fut.exception() is not None:
+                # Re-arm tracking: with best_score left at the failed
+                # epoch's score, a later score that is lower but better
+                # than anything actually ON DISK would never be saved and
+                # the run would end with only a stale checkpoint.  Roll
+                # back to the pre-update best — unless a newer best has
+                # already superseded this epoch (single-writer ordering
+                # makes that visible here).  Benign race with the caller
+                # thread's next track(): worst case one epoch sees the
+                # stale best and the re-arm takes effect the epoch after.
+                if (self.best_score, self.best_epoch) == (score, epoch):
+                    self.best_score, self.best_epoch = prev
+                print(
+                    f"[checkpoint] WARNING: async save of {new_name} "
+                    f"failed ({save_fut.exception()!r}); best tracking "
+                    f"rolled back to epoch {self.best_epoch}",
+                    flush=True,
+                )
                 return
             for old in os.listdir(self.scratch_dir):
                 if old.startswith("checkpoint-") and old != new_name:
@@ -243,22 +261,39 @@ class BestCheckpointKeeper:
         return True
 
     def finalize(self):
+        # Join async writes collecting failures, but SECURE THE BEST
+        # CHECKPOINT FIRST: a failed save was already rolled back by its
+        # prune job, so best_epoch points at the best checkpoint that
+        # actually committed — copy it to the output dir before
+        # re-raising, so a loud failure never destroys the best
+        # recoverable model (the pre-round-4 order raised first and lost
+        # it).
         pending, self._futures = self._futures, []
-        _join_all(pending)  # join async writes; re-raise the first failure
-        if self.best_epoch < 0:
-            return None
-        marker = os.path.join(
-            self.output_dir, f"best-{self.best_epoch:03d}-{self.best_score:.4f}.txt"
-        )
-        open(marker, "w").close()
-        src = os.path.join(self.scratch_dir, f"checkpoint-{self.best_epoch:03d}")
-        dst = os.path.join(self.output_dir, "best_model")
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        shutil.copytree(src, dst)
-        for old in os.listdir(self.scratch_dir):
-            if old.startswith("checkpoint-"):
-                shutil.rmtree(
-                    os.path.join(self.scratch_dir, old), ignore_errors=True
-                )
+        errors = []
+        for f in pending:
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errors.append(e)
+        dst = None
+        if self.best_epoch >= 0:
+            marker = os.path.join(
+                self.output_dir,
+                f"best-{self.best_epoch:03d}-{self.best_score:.4f}.txt",
+            )
+            open(marker, "w").close()
+            src = os.path.join(
+                self.scratch_dir, f"checkpoint-{self.best_epoch:03d}"
+            )
+            dst = os.path.join(self.output_dir, "best_model")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(src, dst)
+            for old in os.listdir(self.scratch_dir):
+                if old.startswith("checkpoint-"):
+                    shutil.rmtree(
+                        os.path.join(self.scratch_dir, old), ignore_errors=True
+                    )
+        if errors:
+            raise errors[0]
         return dst
