@@ -174,60 +174,99 @@ def run_twin_check(wd, epochs=40):
     return results
 
 
-def run_twin_ast_check(wd, epochs=40, model_size="base384", lr=1e-3):
+def run_twin_ast_check(wd, epochs=30, model_size="base384", lr=1e-4,
+                       warmstart_epochs=60, warmstart_lr=2.5e-4):
     """North-star proxy for the AST flavor (CLS-importance pruning, 2
-    extra tokens, Adam + MultiStepLR recipe) — same twin corpus and
-    protocol as run_twin_check, driven through the real ``cli.run_ast``.
-    From-scratch (no DeiT/AudioSet checkpoints exist here), so the LR is
-    NOT ast_run_esc.sh's finetune 1e-5: single-arm probes on this corpus
-    measured 2.5e-4 (the AudioMAE twin's resolved AdamW lr) learning ~10x
-    too slowly under the AST recipe's plain Adam + CLS/dist pooling —
-    see the BENCH_NOTES protocol note.  Staircase decay from epoch 20 at
-    0.85/epoch; no warmup (the reference's 1000-step table outlasts this
-    corpus's whole run).  SpecAug zeroed in both arms for the same
-    reason as the AudioMAE twin (module docstring)."""
+    extra tokens, Adam + MultiStepLR recipe), mirroring the reference's
+    ACTUAL operating regime: ast_run_esc.sh always finetunes from an
+    AudioSet-pretrained AST checkpoint (--audioset_pretrain True) — the
+    reference never trains AST from scratch, and neither can this corpus
+    (from-scratch LR probes: 2.5e-4 learns ~10x slower than the AudioMAE
+    twin under plain Adam + CLS/dist pooling; 5e-4 and 1e-3 collapse to
+    the uniform-prediction plateau without warmup, and the reference's
+    1000-step warmup table outlasts this corpus's entire run).
+
+    Protocol, all through real CLIs:
+      1. ONE shared supervised warm-start: dense AST from scratch at
+         2.5e-4 (the only LR that learns), standing in for the AudioSet
+         pretraining this environment cannot run.
+      2. Export its best checkpoint to a reference-layout .pth
+         (cli.convert, ast flavor = DataParallel state_dict).
+      3. Twin arms (dense keep-1.0 vs pruned keep-0.7, shrink 5->10 as in
+         ast_run_esc.sh) each load THE SAME .pth via --audioset_pretrain
+         True; the import re-initializes mlp_head in both arms exactly as
+         the reference does (ast_models.py:352).
+    SpecAug zeroed in both arms for the same reason as the AudioMAE twin
+    (module docstring)."""
     corpus = os.path.join(wd, "corpus")
     if not os.path.exists(os.path.join(corpus, "train.json")):
         t0 = time.time()
         make_twin_corpus(corpus)
         print(f"[twin-ast] corpus built in {time.time() - t0:.0f}s", flush=True)
 
+    from tpat_tpu.cli import convert as cv
     from tpat_tpu.cli import run_ast as ra
 
     # tiny_debug (depth 6) is the plumbing smoke; drop_loc must fit
     drop_loc = "(3, 6, 9)" if model_size == "base384" else "(1, 3)"
-    common = [
+    base = [
         "--dataset", "esc50", "--n_class", "50", "--audio_length", "512",
         "--model_size", model_size,
         "--data-train", os.path.join(corpus, "train.json"),
         "--data-val", os.path.join(corpus, "eval.json"),
         "--label-csv", os.path.join(corpus, "labels.csv"),
         "-b", "64", "-w", "4",
-        "--n-epochs", str(epochs),
-        "--lr", str(lr), "--warmup", "False",
-        "--lrscheduler_start", "20", "--lrscheduler_step", "1",
-        "--lrscheduler_decay", "0.85",
+        "--warmup", "False",
+        "--lrscheduler_step", "1", "--lrscheduler_decay", "0.85",
         "--metrics", "acc", "--loss", "CE", "--mixup", "0",
         "--dataset_mean", "-6.6268077", "--dataset_std", "5.358466",
-        "--imagenet_pretrain", "False", "--audioset_pretrain", "False",
+        "--imagenet_pretrain", "False",
         "--drop_loc", drop_loc,
         "--freqm", "0", "--timem", "0",
     ]
+
+    # Phase 1+2: shared warm-start -> reference-layout .pth
+    pth = os.path.join(wd, "ast_pretrained.pth")
+    if not os.path.exists(pth):
+        ws = os.path.join(wd, "ast_warmstart")
+        best = os.path.join(ws, "models", "best_audio_model")
+        if not os.path.exists(best):
+            t0 = time.time()
+            ra.main(ra.get_parser().parse_args(base + [
+                "--n-epochs", str(warmstart_epochs),
+                "--lr", str(warmstart_lr),
+                # hold LR up through the slow from-scratch climb, decay
+                # only over the last quarter
+                "--lrscheduler_start", str(max(2, warmstart_epochs * 3 // 4)),
+                "--audioset_pretrain", "False",
+                "--base_keep_rate", "1.0", "--exp-dir", ws,
+            ]))
+            print(f"[twin-ast] warm-start trained in "
+                  f"{time.time() - t0:.0f}s", flush=True)
+        cv.main(cv.get_parser().parse_args(
+            ["--checkpoint", best, "--out", pth, "--flavor", "ast"]
+        ))
+
+    # Phase 3: twin arms from the same checkpoint (ast_run_esc.sh
+    # schedule: 30 epochs, decay from 5, shrink 5 -> 10)
     results = {}
     for arm, keep in (("pruned", 0.7), ("dense", 1.0)):
         exp = os.path.join(wd, f"ast_{arm}")
-        args = common + [
+        args = base + [
+            "--n-epochs", str(epochs), "--lr", str(lr),
+            "--lrscheduler_start", "5",
+            "--audioset_pretrain", "True",
+            "--audioset_pretrained_model_path", pth,
             "--base_keep_rate", str(keep), "--exp-dir", exp,
         ]
         if keep < 1.0:
-            # 8 -> 8 at the full 40 epochs, scaled down for smoke runs
-            s = str(max(2, epochs // 5))
-            args += ["--shrink_start_epoch", s, "--shrink_epochs", s]
+            args += ["--shrink_start_epoch", "5",
+                     "--shrink_epochs", str(min(10, max(2, epochs // 3)))]
         # dense arm: leave the 999/999 defaults (run.py's own dense idiom)
         t0 = time.time()
-        best = ra.main(ra.get_parser().parse_args(args))
+        best_score = ra.main(ra.get_parser().parse_args(args))
         dt = time.time() - t0
-        results[arm] = float(best) * 100.0  # run_ast scores are 0..1
+        results[arm] = float(best_score) * 100.0  # run_ast scores are 0..1
         print(f"[twin-ast] {arm} (keep {keep}): best acc1 "
               f"{results[arm]:.2f} in {dt:.0f}s", flush=True)
 
@@ -245,18 +284,24 @@ def main():
                     help="north-star proxy: dense-vs-pruned ViT-B twins")
     ap.add_argument("--twin-ast", action="store_true",
                     help="north-star proxy, AST flavor via cli.run_ast")
-    ap.add_argument("--epochs", type=int, default=40, help="twin epochs")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="twin epochs (default: 40 AudioMAE, 30 AST)")
     ap.add_argument("--model_size", type=str, default="base384",
                     help="twin-ast model size (tiny_debug for smoke)")
-    ap.add_argument("--ast_lr", type=float, default=1e-3,
-                    help="twin-ast from-scratch Adam lr (probed)")
+    ap.add_argument("--ast_lr", type=float, default=1e-4,
+                    help="twin-ast finetune Adam lr (both arms)")
+    ap.add_argument("--warmstart_epochs", type=int, default=60,
+                    help="twin-ast shared warm-start epochs")
     args = ap.parse_args()
     if args.twin_ast:
         run_twin_ast_check(args.workdir or "/tmp/tpat_twin_ast_r4",
-                           epochs=args.epochs, model_size=args.model_size,
-                           lr=args.ast_lr)
+                           epochs=args.epochs or 30,
+                           model_size=args.model_size,
+                           lr=args.ast_lr,
+                           warmstart_epochs=args.warmstart_epochs)
     elif args.twin:
-        run_twin_check(args.workdir or "/tmp/tpat_twin_r4", epochs=args.epochs)
+        run_twin_check(args.workdir or "/tmp/tpat_twin_r4",
+                       epochs=args.epochs or 40)
     else:
         run_tiny_check(args.workdir or "/tmp/tpat_conv_r4")
 

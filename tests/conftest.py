@@ -77,8 +77,12 @@ def pytest_collection_modifyitems(session, items):
             item.add_marker(pytest.mark.smoke)
             matched.add(rel)
     # A renamed/moved test must fail collection loudly, not silently
-    # shrink the smoke tier's subsystem coverage.  Only enforce on full
-    # collections — `pytest tests/test_foo.py` legitimately sees a subset.
+    # shrink the smoke tier's subsystem coverage.  Only enforce on
+    # whole-file collections: `pytest tests/test_foo.py` legitimately
+    # sees a subset of files, and `pytest tests/test_foo.py::test_bar`
+    # (nodeid-targeted) a subset of a file's tests.
+    if any("::" in str(a) for a in session.config.args):
+        return
     collected_files = {item.nodeid.split("tests/")[-1].split("::")[0]
                        for item in items}
     stale = {s for s in _SMOKE - matched

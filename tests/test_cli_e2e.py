@@ -198,6 +198,36 @@ def test_run_ast_cli(corpus, tmp_path):
     assert any(f.startswith("block-1.topk_idx.") for f in files)
 
 
+def test_run_ast_cli_device_frontend(corpus, tmp_path):
+    """--device_frontend on the AST driver: raw waveforms from the
+    loader, on-device fbank + normalization, THEN the AST (B,1,F,T)
+    transpose (ast_models.py:434-436) inside the compiled step."""
+    from tpat_tpu.cli.run_ast import get_parser, main
+
+    exp = tmp_path / "exp_wf"
+    argv = [
+        "--dataset", "esc50", "--model_size", "tiny_debug",
+        "--device_frontend", "true",
+        "--data-train", str(corpus / "train.json"),
+        "--data-val", str(corpus / "eval.json"),
+        "--label-csv", str(corpus / "labels.csv"),
+        "--n_class", "4", "-b", "8", "--n-epochs", "2",
+        "--audio_length", "128", "--metrics", "acc", "--loss", "CE",
+        "--lr", "1e-4", "--warmup", "False",
+        "--lrscheduler_start", "5", "--drop_loc", "(1, 3)",
+        "--base_keep_rate", "0.6",
+        "--freqm", "4", "--timem", "8",
+        "--imagenet_pretrain", "False",
+        "--exp-dir", str(exp), "-w", "2",
+    ]
+    score = main(get_parser().parse_args(argv))
+    assert 0.0 <= score <= 1.0
+    assert (exp / "models" / "best_audio_model").exists()
+    # eval reloads through the same on-device frontend
+    score2 = main(get_parser().parse_args(argv + ["--eval"]))
+    assert abs(score2 - score) < 1e-6
+
+
 def test_finetune_cli_device_frontend(corpus, tmp_path):
     """--device_frontend: raw waveforms from the loader, fbank + SpecAug +
     normalization fused into the compiled step on-device."""

@@ -91,6 +91,13 @@ def get_parser():
     p.add_argument(
         "--gelu_impl", default="auto", choices=["auto", "exact", "poly"],
     )
+    # beyond-reference (mirrors cli/finetune.py --device_frontend): move
+    # fbank + SpecAug + normalization onto the TPU, fused into the
+    # compiled step — the loader then ships raw waveforms, relieving
+    # host-CPU-bound input pipelines
+    p.add_argument("--device_frontend", type=str2bool, default=False,
+                   help="compute the Kaldi fbank on-device (loader emits "
+                        "raw waveforms)")
     return p
 
 
@@ -173,8 +180,10 @@ def main(args):
         model_cfg = cfg_lib.ast_vit_base(**model_kw)
     model = AudioViT(model_cfg)
 
+    wf = bool(args.device_frontend)
     ds_val = AudiosetDataset(
-        args.data_val or args.data_eval, data_cfg, args.label_csv, train=False
+        args.data_val or args.data_eval, data_cfg, args.label_csv,
+        train=False, return_waveform=wf,
     )
     loader_val = DataLoader(
         ds_val, args.batch_size, shuffle=False, num_workers=args.num_workers
@@ -182,9 +191,35 @@ def main(args):
 
     # AST input orientation: (B, T, 128) -> (B, 1, 128, T)
     # (ast_models.py:434-436); datasets emit (B, 1, T, F), transpose here.
+    # In waveform mode the loader ships raw audio (B, L) and the
+    # on-device preprocess below does fbank THEN the AST transpose.
     def ast_batches(loader):
         for x, y, _ids in loader:
-            yield x.transpose(0, 1, 3, 2), y
+            yield (x if wf else x.transpose(0, 1, 3, 2)), y
+
+    preprocess = None
+    if wf:
+        import dataclasses as _dc
+
+        from tpat_tpu.ops.frontend import FrontendConfig, device_frontend
+
+        fc_train = FrontendConfig(
+            num_mel_bins=data_cfg.num_mel_bins,
+            target_length=data_cfg.target_length,
+            norm_mean=data_cfg.norm_mean,
+            norm_std=data_cfg.norm_std,
+            freqm=data_cfg.freqm,
+            timem=data_cfg.timem,
+            noise=data_cfg.use_noise,
+        )
+        fc_eval = _dc.replace(fc_train, freqm=0, timem=0, noise=False)
+
+        def preprocess(x, rng, specaug, train):
+            fc = fc_train if (train and specaug) else (
+                _dc.replace(fc_train, freqm=0, timem=0) if train else fc_eval
+            )
+            spec = device_frontend(x, fc, rng=rng, train=train)  # (B,1,T,F)
+            return spec.transpose(0, 1, 3, 2)  # AST orientation
 
     mesh = mesh_lib.make_mesh()
 
@@ -272,7 +307,8 @@ def main(args):
         # loader (run.py:264-270)
         if args.dataset == "speechcommands" and args.data_eval:
             ds_test = AudiosetDataset(
-                args.data_eval, data_cfg, args.label_csv, train=False
+                args.data_eval, data_cfg, args.label_csv, train=False,
+                return_waveform=wf,
             )
             eval_loader = DataLoader(
                 ds_test, args.batch_size, shuffle=False,
@@ -284,7 +320,7 @@ def main(args):
         if args.metrics == "acc":
             stats = eval_lib.evaluate_classification(
                 model, params, batches, args.batch_size, mesh,
-                feature_writer=writer,
+                feature_writer=writer, preprocess=preprocess,
                 custom_rank=args.custom_rank, intensity_band=intensity_band,
             )
             score = stats["acc1"] / 100.0
@@ -292,7 +328,7 @@ def main(args):
         else:
             stats = eval_lib.evaluate_multilabel(
                 model, params, batches, args.batch_size, mesh,
-                feature_writer=writer,
+                feature_writer=writer, preprocess=preprocess,
                 custom_rank=args.custom_rank, intensity_band=intensity_band,
             )
             score = stats["mAP"]
@@ -310,7 +346,8 @@ def main(args):
             yaml.dump(vars(args), f)
 
     ds_train = AudiosetDataset(
-        args.data_train, data_cfg, args.label_csv, train=True, seed=args.seed
+        args.data_train, data_cfg, args.label_csv, train=True,
+        seed=args.seed, return_waveform=wf,
     )
     loader_train = DataLoader(
         ds_train, args.batch_size,
@@ -347,6 +384,7 @@ def main(args):
         iters_per_epoch=len(loader_train),
         mesh=mesh,
         custom_rank=args.custom_rank,  # run.py:204-206 sets it model-wide
+        preprocess=preprocess,
     )
     state = module.load(init_params(), seed=args.seed)
     scratch = os.path.join(args.ramdisk_dir or args.exp_dir, "models")
@@ -374,12 +412,14 @@ def main(args):
         batches = ast_batches(loader_val)
         if args.metrics == "acc":
             vstats = eval_lib.evaluate_classification(
-                model, state.params, batches, args.batch_size, mesh
+                model, state.params, batches, args.batch_size, mesh,
+                preprocess=preprocess,
             )
             score = vstats["acc1"] / 100.0
         else:
             vstats = eval_lib.evaluate_multilabel(
-                model, state.params, batches, args.batch_size, mesh
+                model, state.params, batches, args.batch_size, mesh,
+                preprocess=preprocess,
             )
             score = vstats["mAP"]
         print(f"epoch {epoch}: train_loss={tstats['loss']:.4f} score={score:.6f}")
@@ -434,17 +474,20 @@ def main(args):
         best = os.path.join(args.exp_dir, "models", "best_audio_model")
         params = restore_checkpoint(best)["params"]
         ds_eval = AudiosetDataset(
-            args.data_eval, data_cfg, args.label_csv, train=False
+            args.data_eval, data_cfg, args.label_csv, train=False,
+            return_waveform=wf,
         )
         loader_eval = DataLoader(
             ds_eval, args.batch_size, shuffle=False,
             num_workers=args.num_workers,
         )
         val_stats = eval_lib.evaluate_classification(
-            model, params, ast_batches(loader_val), args.batch_size, mesh
+            model, params, ast_batches(loader_val), args.batch_size, mesh,
+            preprocess=preprocess,
         )
         eval_stats = eval_lib.evaluate_classification(
-            model, params, ast_batches(loader_eval), args.batch_size, mesh
+            model, params, ast_batches(loader_eval), args.batch_size, mesh,
+            preprocess=preprocess,
         )
         np.savetxt(
             os.path.join(args.exp_dir, "eval_result.csv"),
