@@ -255,6 +255,11 @@ def run_twin_ast_check(wd, epochs=30, model_size="base384", lr=1e-4,
         args = base + [
             "--n-epochs", str(epochs), "--lr", str(lr),
             "--lrscheduler_start", "5",
+            # run_ast enforces the reference's construction invariant
+            # (ast_models.py:344-345): audioset_pretrain requires
+            # imagenet_pretrain=True.  base sets it False (for the
+            # warm-start); the later occurrence wins in argparse.
+            "--imagenet_pretrain", "True",
             "--audioset_pretrain", "True",
             "--audioset_pretrained_model_path", pth,
             "--base_keep_rate", str(keep), "--exp-dir", exp,

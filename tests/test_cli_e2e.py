@@ -644,6 +644,32 @@ def test_run_ast_checkpoint_path_requires_flag(corpus, tmp_path):
         main(get_parser().parse_args(argv))
 
 
+def test_run_ast_audioset_requires_imagenet(corpus, tmp_path):
+    """--audioset_pretrain True with --imagenet_pretrain False fails
+    loudly: the reference's AudioSet checkpoints are built on ImageNet
+    pretraining and its constructor hard-asserts the combination
+    (ast_models.py:344-345).  Pins the invariant the twin-AST harness
+    (scripts/convergence_check_tpu.py) must satisfy via flag override."""
+    from tpat_tpu.cli.run_ast import get_parser, main
+
+    pth = tmp_path / "donor.pth"
+    pth.write_bytes(b"not-a-real-checkpoint")  # never reached
+    argv = [
+        "--dataset", "esc50", "--model_size", "tiny_debug",
+        "--data-train", str(corpus / "train.json"),
+        "--data-val", str(corpus / "eval.json"),
+        "--label-csv", str(corpus / "labels.csv"),
+        "--n_class", "4", "-b", "8", "--n-epochs", "1",
+        "--audio_length", "128", "--metrics", "acc", "--loss", "CE",
+        "--drop_loc", "(1, 3)",
+        "--imagenet_pretrain", "False", "--audioset_pretrain", "True",
+        "--audioset_pretrained_model_path", str(pth),
+        "--exp-dir", str(tmp_path / "exp_guard2"), "-w", "2",
+    ]
+    with pytest.raises(ValueError, match="imagenet_pretrain"):
+        main(get_parser().parse_args(argv))
+
+
 def test_dist_eval_batches_shard_semantics(monkeypatch):
     """The multi-host eval generator: rank-strided unpadded shards, every
     host padded to the SAME dispatch count with valid=0 filler batches,
