@@ -49,27 +49,38 @@ import numpy as np  # noqa: E402
 
 
 def make_twin_corpus(root, n_classes=50, train_per_class=12, eval_per_class=4,
-                     seconds=5.2, seed=0):
+                     seconds=5.2, seed=0, detune_cents=30.0, noise=0.20):
     """A corpus hard enough that ViT-B does NOT saturate: semitone-spaced
-    fundamentals (adjacent classes 6% apart), random +-30 cent detune,
-    per-sample random harmonic amplitudes, and heavy broadband noise.
-    Class identity is carried by pitch alone — the model has to resolve
-    fine mel-bin structure through the pruning."""
+    fundamentals (adjacent classes 6% apart), random +-detune_cents
+    detune, per-sample random harmonic amplitudes, and heavy broadband
+    noise.  Class identity is carried by pitch alone — the model has to
+    resolve fine mel-bin structure through the pruning.
+
+    The round-4 settings (detune 30, noise 0.20, 4 eval/class) let a
+    40-epoch dense ViT-B reach 95.00 = 190/200, an apparent corpus
+    ceiling (VERDICT r4 "weak" #1).  The *calibrated* grid corpus
+    (run_twin_grid) widens the detune past the class spacing
+    (+-55 cents vs 100-cent spacing -> ~10-cent true overlap at the
+    boundaries, a nonzero Bayes error), raises the noise, and doubles
+    the eval set (8/class = 400 clips, 0.25-point resolution) so dense
+    sits measurably below ceiling and a real pruning cost can register.
+    """
     sr = 16000
     rng = np.random.default_rng(seed)
+    semi = detune_cents / 100.0  # cents -> semitones
 
     def clips(per_class):
         for cls in range(n_classes):
             for _ in range(per_class):
                 f0 = 110.0 * 2 ** (cls / 12.0)  # semitone ladder
-                f0 *= 2 ** (rng.uniform(-0.3, 0.3) / 12.0)  # +-30 cents
+                f0 *= 2 ** (rng.uniform(-semi, semi) / 12.0)
                 t = np.arange(int(sr * seconds)) / sr
                 wave = np.zeros_like(t)
                 for h in range(1, 5):
                     amp = rng.uniform(0.05, 0.3) / h
                     ph = rng.uniform(0, 2 * math.pi)
                     wave += amp * np.sin(2 * math.pi * h * f0 * t + ph)
-                wave += 0.20 * rng.normal(size=t.shape)
+                wave += noise * rng.normal(size=t.shape)
                 yield wave, cls
 
     write_corpus(root, n_classes, {"train": clips(train_per_class),
@@ -121,16 +132,11 @@ def run_tiny_check(wd):
     print("[conv] OK")
 
 
-def run_twin_check(wd, epochs=40):
-    corpus = os.path.join(wd, "corpus")
-    if not os.path.exists(os.path.join(corpus, "train.json")):
-        t0 = time.time()
-        make_twin_corpus(corpus)
-        print(f"[twin] corpus built in {time.time() - t0:.0f}s", flush=True)
-
+def _twin_arm(corpus, out, keep, epochs, seed=0):
+    """One twin arm through the real cli.finetune; returns best acc1."""
     from tpat_tpu.cli import finetune as ft
 
-    common = [
+    args = [
         "--dataset", "esc50", "--model", "audiomae_vit_base",
         "--data_train", os.path.join(corpus, "train.json"),
         "--data_eval", os.path.join(corpus, "eval.json"),
@@ -138,39 +144,96 @@ def run_twin_check(wd, epochs=40):
         "--nb_classes", "50", "--batch_size", "64",
         "--device_frontend", "true", "--num_workers", "4",
         "--epochs", str(epochs), "--blr", "1e-3", "--warmup_epochs", "4",
-        "--drop_loc", "(3, 6, 9)",
+        "--drop_loc", "(3, 6, 9)", "--seed", str(seed),
         # No SpecAug in either arm — see the module docstring: the
         # reference's keep<1.0-gated aug cutoff otherwise gives the two
         # arms different augmentation schedules on a corpus where freq
         # masking erases the label.
         "--freqm", "0", "--timem", "0",
+        "--base_keep_rate", str(keep),
+        "--output_dir", out,
+        "--result_path", os.path.join(out, "result.txt"),
     ]
+    if keep < 1.0:
+        args += ["--shrink_start_epoch", "8", "--shrink_epochs", "8"]
+    else:
+        # dense arm: no shrink phase at all
+        args += ["--shrink_start_epoch", str(epochs), "--shrink_epochs", "0"]
+    ft.main(ft.get_args_parser().parse_args(args))
+    return float(open(os.path.join(out, "result.txt")).read().strip())
+
+
+def run_twin_check(wd, epochs=40):
+    corpus = os.path.join(wd, "corpus")
+    if not os.path.exists(os.path.join(corpus, "train.json")):
+        t0 = time.time()
+        make_twin_corpus(corpus)
+        print(f"[twin] corpus built in {time.time() - t0:.0f}s", flush=True)
+
     results = {}
     for arm, keep in (("pruned", 0.7), ("dense", 1.0)):
-        out = os.path.join(wd, arm)
-        args = common + [
-            "--base_keep_rate", str(keep),
-            "--output_dir", out,
-            "--result_path", os.path.join(out, "result.txt"),
-        ]
-        if keep < 1.0:
-            args += ["--shrink_start_epoch", "8", "--shrink_epochs", "8"]
-        else:
-            # dense arm: no shrink phase at all
-            args += ["--shrink_start_epoch", str(epochs), "--shrink_epochs", "0"]
         t0 = time.time()
-        ft.main(ft.get_args_parser().parse_args(args))
-        dt = time.time() - t0
-        results[arm] = float(
-            open(os.path.join(out, "result.txt")).read().strip()
-        )
+        results[arm] = _twin_arm(corpus, os.path.join(wd, arm), keep, epochs)
         print(f"[twin] {arm} (keep {keep}): best acc1 {results[arm]:.2f} "
-              f"in {dt:.0f}s", flush=True)
+              f"in {time.time() - t0:.0f}s", flush=True)
 
     delta = results["dense"] - results["pruned"]
     print(f"[twin] dense {results['dense']:.2f}  pruned {results['pruned']:.2f}"
           f"  delta {delta:+.2f} points (claim: <1 point at 30-40% MAC cut)",
           flush=True)
+    return results
+
+
+def run_twin_grid(wd, epochs=40, keeps=(1.0, 0.7, 0.5), seeds=(0, 1, 2)):
+    """The falsifiable north-star instrument (VERDICT r4 next-round #2):
+    keep levels {1.0, 0.7, 0.5} x >=3 seeds on the CALIBRATED corpus
+    (detune +-55 cents > the 100-cent class spacing -> nonzero Bayes
+    error, noise 0.30, 8 eval clips/class = 0.25-point resolution), so
+    dense sits measurably below ceiling and the protocol can actually
+    show a pruning cost.  Arms run seed-major (all keeps for seed 0
+    first) and results persist incrementally to grid_results.json, so a
+    partial run still yields a complete seed row and the grid resumes
+    where it stopped."""
+    import json
+
+    corpus = os.path.join(wd, "corpus")
+    if not os.path.exists(os.path.join(corpus, "train.json")):
+        t0 = time.time()
+        make_twin_corpus(corpus, eval_per_class=8,
+                         detune_cents=55.0, noise=0.30)
+        print(f"[grid] corpus built in {time.time() - t0:.0f}s", flush=True)
+
+    res_path = os.path.join(wd, "grid_results.json")
+    results = {}
+    if os.path.exists(res_path):
+        results = json.load(open(res_path))
+    for seed in seeds:
+        for keep in keeps:
+            key = f"keep{keep}_seed{seed}"
+            if key in results:
+                continue
+            t0 = time.time()
+            acc = _twin_arm(
+                corpus, os.path.join(wd, key), keep, epochs, seed=seed
+            )
+            results[key] = {"acc1": acc, "keep": keep, "seed": seed,
+                            "train_s": round(time.time() - t0)}
+            with open(res_path, "w") as f:
+                json.dump(results, f, indent=1)
+            print(f"[grid] {key}: best acc1 {acc:.2f} in "
+                  f"{results[key]['train_s']}s", flush=True)
+
+    # summary: mean +- std per keep over whatever seeds completed
+    print("[grid] summary (calibrated corpus):", flush=True)
+    dense = [v["acc1"] for v in results.values() if v["keep"] == 1.0]
+    for keep in keeps:
+        accs = [v["acc1"] for v in results.values() if v["keep"] == keep]
+        if not accs:
+            continue
+        mu, sd = float(np.mean(accs)), float(np.std(accs))
+        d = float(np.mean(dense) - mu) if dense else float("nan")
+        print(f"[grid]   keep {keep}: {mu:.2f} +- {sd:.2f} "
+              f"(n={len(accs)}, delta vs dense {d:+.2f})", flush=True)
     return results
 
 
@@ -209,21 +272,27 @@ def run_twin_ast_check(wd, epochs=30, model_size="base384", lr=1e-4,
 
     # tiny_debug (depth 6) is the plumbing smoke; drop_loc must fit
     drop_loc = "(3, 6, 9)" if model_size == "base384" else "(1, 3)"
-    base = [
-        "--dataset", "esc50", "--n_class", "50", "--audio_length", "512",
-        "--model_size", model_size,
-        "--data-train", os.path.join(corpus, "train.json"),
-        "--data-val", os.path.join(corpus, "eval.json"),
-        "--label-csv", os.path.join(corpus, "labels.csv"),
-        "-b", "64", "-w", "4",
-        "--warmup", "False",
-        "--lrscheduler_step", "1", "--lrscheduler_decay", "0.85",
-        "--metrics", "acc", "--loss", "CE", "--mixup", "0",
-        "--dataset_mean", "-6.6268077", "--dataset_std", "5.358466",
-        "--imagenet_pretrain", "False",
-        "--drop_loc", drop_loc,
-        "--freqm", "0", "--timem", "0",
-    ]
+
+    def build_base(imagenet_pretrain):
+        # run_ast enforces the reference's construction invariant
+        # (ast_models.py:344-345): audioset_pretrain requires
+        # imagenet_pretrain=True — so the warm-start (from scratch) gets
+        # False and the twin arms (loading the shared .pth) get True.
+        return [
+            "--dataset", "esc50", "--n_class", "50", "--audio_length", "512",
+            "--model_size", model_size,
+            "--data-train", os.path.join(corpus, "train.json"),
+            "--data-val", os.path.join(corpus, "eval.json"),
+            "--label-csv", os.path.join(corpus, "labels.csv"),
+            "-b", "64", "-w", "4",
+            "--warmup", "False",
+            "--lrscheduler_step", "1", "--lrscheduler_decay", "0.85",
+            "--metrics", "acc", "--loss", "CE", "--mixup", "0",
+            "--dataset_mean", "-6.6268077", "--dataset_std", "5.358466",
+            "--imagenet_pretrain", "True" if imagenet_pretrain else "False",
+            "--drop_loc", drop_loc,
+            "--freqm", "0", "--timem", "0",
+        ]
 
     # Phase 1+2: shared warm-start -> reference-layout .pth
     pth = os.path.join(wd, "ast_pretrained.pth")
@@ -232,7 +301,7 @@ def run_twin_ast_check(wd, epochs=30, model_size="base384", lr=1e-4,
         best = os.path.join(ws, "models", "best_audio_model")
         if not os.path.exists(best):
             t0 = time.time()
-            ra.main(ra.get_parser().parse_args(base + [
+            ra.main(ra.get_parser().parse_args(build_base(False) + [
                 "--n-epochs", str(warmstart_epochs),
                 "--lr", str(warmstart_lr),
                 # hold LR up through the slow from-scratch climb, decay
@@ -252,14 +321,9 @@ def run_twin_ast_check(wd, epochs=30, model_size="base384", lr=1e-4,
     results = {}
     for arm, keep in (("pruned", 0.7), ("dense", 1.0)):
         exp = os.path.join(wd, f"ast_{arm}")
-        args = base + [
+        args = build_base(True) + [
             "--n-epochs", str(epochs), "--lr", str(lr),
             "--lrscheduler_start", "5",
-            # run_ast enforces the reference's construction invariant
-            # (ast_models.py:344-345): audioset_pretrain requires
-            # imagenet_pretrain=True.  base sets it False (for the
-            # warm-start); the later occurrence wins in argparse.
-            "--imagenet_pretrain", "True",
             "--audioset_pretrain", "True",
             "--audioset_pretrained_model_path", pth,
             "--base_keep_rate", str(keep), "--exp-dir", exp,
@@ -287,6 +351,11 @@ def main():
     ap.add_argument("workdir", nargs="?", default=None)
     ap.add_argument("--twin", action="store_true",
                     help="north-star proxy: dense-vs-pruned ViT-B twins")
+    ap.add_argument("--twin-grid", action="store_true",
+                    help="falsifiable grid: keep {1.0,0.7,0.5} x seeds on "
+                         "the calibrated (below-ceiling) corpus")
+    ap.add_argument("--seeds", type=str, default="0,1,2",
+                    help="twin-grid seeds, comma list")
     ap.add_argument("--twin-ast", action="store_true",
                     help="north-star proxy, AST flavor via cli.run_ast")
     ap.add_argument("--epochs", type=int, default=None,
@@ -304,6 +373,10 @@ def main():
                            model_size=args.model_size,
                            lr=args.ast_lr,
                            warmstart_epochs=args.warmstart_epochs)
+    elif args.twin_grid:
+        run_twin_grid(args.workdir or "/tmp/tpat_twin_grid_r5",
+                      epochs=args.epochs or 40,
+                      seeds=tuple(int(s) for s in args.seeds.split(",")))
     elif args.twin:
         run_twin_check(args.workdir or "/tmp/tpat_twin_r4",
                        epochs=args.epochs or 40)

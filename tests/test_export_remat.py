@@ -425,3 +425,71 @@ def test_convert_cli_orbax_to_pth(tmp_path, rng):
             "--checkpoint", str(tmp_path / "best_model.pth"),
             "--out", str(tmp_path / "x.pth"),
         ]))
+
+
+def test_serving_export_waveform_frontend(tmp_path):
+    """Waveform->logits serving artifact (VERDICT r4 #4): the exported
+    program fuses the on-device frontend (ops/frontend.py) with the
+    pruned forward, so a server feeds raw PCM and gets logits with zero
+    host fbank.  Checks both the direct export_forward(frontend=...) and
+    the CLI --device_frontend path, including the NaN-tail short-clip
+    contract (meta.json documents it)."""
+    from tpat_tpu.cli.export_serving import get_parser, main
+    from tpat_tpu.config import audiomae_vit_tiny
+    from tpat_tpu.ops.frontend import FrontendConfig, device_frontend
+    from tpat_tpu.utils import serving
+    from tpat_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = audiomae_vit_tiny(
+        num_classes=4, target_length=64, num_mel_bins=128,
+        drop_loc=(1,), base_keep_rate=0.6, drop_path_rate=0.0,
+        compute_dtype="float32",
+    )
+    model = AudioViT(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 1, 64, 128))
+    )["params"]
+
+    fcfg = FrontendConfig(num_mel_bins=128, target_length=64)
+    n_samples = fcfg.fbank_cfg.window_size + 63 * fcfg.fbank_cfg.window_shift
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(2, n_samples)).astype(np.float32) * 0.1
+    wav[1, n_samples // 2:] = np.nan  # short clip, NaN-tail contract
+
+    spec = device_frontend(jnp.asarray(wav), fcfg, train=False)
+    want = np.asarray(model.apply({"params": params}, spec))
+
+    out = serving.export_forward(
+        model, params, (2, n_samples), str(tmp_path / "artifact"),
+        frontend=fcfg,
+    )
+    fn, meta = serving.load_forward(out)
+    np.testing.assert_allclose(np.asarray(fn(wav)), want, rtol=1e-5, atol=1e-5)
+    assert meta["frontend"]["input"] == "waveform"
+    assert meta["frontend"]["num_samples"] == n_samples
+    assert "NaN" in meta["frontend"]["padding_contract"]
+
+    # the CLI path (--device_frontend), default num_samples formula
+    class S:
+        pass
+
+    s = S()
+    s.params = params
+    s.opt_state = {}
+    s.step = jnp.zeros((), jnp.int32)
+    save_checkpoint(str(tmp_path / "ckpt"), s, epoch=0)
+    out2 = main(get_parser().parse_args([
+        "--model", "audiomae_vit_tiny", "--dataset", "esc50",
+        "--nb_classes", "4", "--target_length", "64",
+        "--base_keep_rate", "0.6", "--drop_loc", "(1,)",
+        "--compute_dtype", "float32",
+        "--finetuned_model_path", str(tmp_path / "ckpt"),
+        "--batch_size", "2", "--device_frontend",
+        "--out_dir", str(tmp_path / "artifact_cli"),
+    ]))
+    fn2, meta2 = serving.load_forward(out2)
+    assert meta2["frontend"]["num_samples"] == n_samples
+    # CLI uses the esc50 preset's norm stats == FrontendConfig defaults
+    np.testing.assert_allclose(
+        np.asarray(fn2(wav)), want, rtol=1e-5, atol=1e-5
+    )

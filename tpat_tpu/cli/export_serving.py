@@ -43,6 +43,16 @@ def get_parser():
     p.add_argument("--platforms", default=None,
                    help="comma list, e.g. 'tpu,cpu'; default = current "
                         "backend")
+    p.add_argument("--device_frontend", action="store_true",
+                   help="export the FUSED waveform->logits graph: inputs "
+                        "are raw PCM (batch, num_samples) and the "
+                        "on-device fbank/pad/normalize runs inside the "
+                        "artifact (NaN head/tail short-clip contract, "
+                        "documented in meta.json)")
+    p.add_argument("--num_samples", type=int, default=None,
+                   help="waveform length for --device_frontend; default = "
+                        "exactly target_length frames "
+                        "(400 + (target_length-1)*160 samples at 16 kHz)")
     return p
 
 
@@ -111,16 +121,34 @@ def main(args):
 
     # input orientation follows the family: AudioMAE (B,1,T,F); AST
     # (B,1,F,T) (ast_models.py:434-436)
-    if cfg.pos_embed_mode == "pre_cls":
-        shape = (batches[0], 1, cfg.target_length, cfg.num_mel_bins)
-    else:
+    ast_family = cfg.pos_embed_mode != "pre_cls"
+    frontend = None
+    if args.device_frontend:
+        from tpat_tpu.ops.frontend import FrontendConfig
+
+        fcfg = FrontendConfig(
+            num_mel_bins=cfg.num_mel_bins,
+            target_length=cfg.target_length,
+            norm_mean=preset.norm_mean if preset else -6.6268077,
+            norm_std=preset.norm_std if preset else 5.358466,
+        )
+        n_samples = args.num_samples or (
+            fcfg.fbank_cfg.window_size
+            + (cfg.target_length - 1) * fcfg.fbank_cfg.window_shift
+        )
+        shape = (batches[0], n_samples)
+        frontend = fcfg
+    elif ast_family:
         shape = (batches[0], 1, cfg.num_mel_bins, cfg.target_length)
+    else:
+        shape = (batches[0], 1, cfg.target_length, cfg.num_mel_bins)
     platforms = (
         tuple(args.platforms.split(",")) if args.platforms else None
     )
     out = serving.export_forward(
         model, params, shape, args.out_dir, platforms=platforms,
         batch_sizes=batches if len(batches) > 1 else None,
+        frontend=frontend, ast_orientation=ast_family and frontend is not None,
     )
     desc = shape if len(batches) == 1 else (tuple(batches),) + shape[1:]
     print(f"serving artifact written to {out} (input {desc})")

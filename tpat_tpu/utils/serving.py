@@ -60,6 +60,8 @@ def export_forward(
     input_dtype=np.float32,
     platforms: Optional[Tuple[str, ...]] = None,
     batch_sizes: Optional[Sequence[int]] = None,
+    frontend=None,
+    ast_orientation: bool = False,
 ) -> str:
     """Serialize ``model.apply`` (static-pruned eval forward) + params.
 
@@ -77,6 +79,22 @@ def export_forward(
 
     platforms: optional lowering platforms (e.g. ``("tpu", "cpu")``);
     defaults to the current backend.
+
+    frontend: optional ``ops.frontend.FrontendConfig``.  When given, the
+    exported program is the FUSED waveform->logits graph: inputs are raw
+    PCM ``(batch, num_samples)`` float32 and the on-device fbank +
+    pad-with-min + normalize run inside the same XLA computation as the
+    forward (the zero-host-fbank serving path, docs/BENCH_NOTES.md
+    "Raw-audio serving path").  ``input_shape`` is then
+    ``(batch, num_samples)``.  Short-clip contract (documented in
+    meta.json): pad short clips to ``num_samples`` with **NaN at the
+    tail** — frames a shorter clip cannot produce get the reference's
+    ``fbank.min()`` fill (dataset.py:218-225); a NaN **head** encodes
+    VoxCeleb lr_pad and must be a multiple of the 160-sample shift
+    (ops/frontend.py:88-110).  Fully-finite inputs are unaffected.
+
+    ast_orientation: with ``frontend``, transpose the spectrogram to the
+    AST family's ``(B, 1, F, T)`` before the trunk (ast_models.py:434-436).
     """
     import jax
     import jax.numpy as jnp
@@ -84,8 +102,17 @@ def export_forward(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def fwd(p, x):
-        return model.apply({"params": p}, x)
+    if frontend is None:
+        def fwd(p, x):
+            return model.apply({"params": p}, x)
+    else:
+        from tpat_tpu.ops.frontend import device_frontend
+
+        def fwd(p, wav):
+            spec = device_frontend(wav, frontend, train=False)
+            if ast_orientation:
+                spec = spec.transpose(0, 1, 3, 2)
+            return model.apply({"params": p}, spec)
 
     p_spec = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
@@ -100,6 +127,24 @@ def export_forward(
         return jexport.export(jax.jit(fwd), **kw)(p_spec, x_spec)
 
     meta = {"input_dtype": np.dtype(input_dtype).name}
+    if frontend is not None:
+        meta["frontend"] = {
+            "input": "waveform",
+            "num_samples": int(input_shape[-1]),
+            "sample_rate": frontend.sample_rate,
+            "num_mel_bins": frontend.num_mel_bins,
+            "target_length": frontend.target_length,
+            "norm_mean": frontend.norm_mean,
+            "norm_std": frontend.norm_std,
+            "ast_orientation": bool(ast_orientation),
+            "padding_contract": (
+                "pad short clips to num_samples with NaN at the TAIL "
+                "(frames the true length cannot produce take the clip's "
+                "fbank.min() fill, dataset.py:218-225); an optional NaN "
+                "HEAD (VoxCeleb lr_pad) must be a multiple of the "
+                "160-sample frame shift; fully-finite inputs unaffected"
+            ),
+        }
     if batch_sizes is None:
         exported = _export_one(input_shape)
         with open(os.path.join(out_dir, "forward.jaxexport"), "wb") as f:
