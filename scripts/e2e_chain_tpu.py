@@ -73,14 +73,25 @@ def make_corpus(root, n_train=256, n_eval=64, n_classes=50, seconds=5.0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/tpat_e2e_chain")
+    ap.add_argument("--target_length", type=int, default=512,
+                    help="512 = ESC-50 geometry (round-3 validated); "
+                         "1024 = AudioSet geometry (N=513 tokens, banded "
+                         "window-order decoder kernel) — VERDICT r4 "
+                         "stretch #8")
+    ap.add_argument("--device_frontend", default="false",
+                    help="run the finetune stage with the on-device fbank "
+                         "(cli/pretrain has no waveform mode)")
     args = ap.parse_args()
     wd = args.workdir
     corpus = os.path.join(wd, "corpus")
     times = {}
+    tl = args.target_length
+    wf = ["--device_frontend", args.device_frontend]
 
     t0 = time.time()
     if not os.path.exists(os.path.join(corpus, "train.json")):
-        make_corpus(corpus)
+        # clips long enough to fill target_length frames (10 ms shift)
+        make_corpus(corpus, seconds=tl * 0.010 + 0.2)
     times["corpus"] = time.time() - t0
     print(f"[chain] corpus ready in {times['corpus']:.1f}s", flush=True)
 
@@ -94,7 +105,7 @@ def main():
     else:
         pt.main(pt.get_args_parser().parse_args([
         "--dataset", "esc50", "--model", "mae_vit_base",
-        "--target_length", "512",
+        "--target_length", str(tl),
         "--data_train", os.path.join(corpus, "train.json"),
         "--label_csv", os.path.join(corpus, "labels.csv"),
         "--batch_size", "32", "--epochs", "2", "--warmup_epochs", "1",
@@ -117,6 +128,7 @@ def main():
     else:
         ft.main(ft.get_args_parser().parse_args([
         "--dataset", "esc50", "--model", "audiomae_vit_base",
+        "--target_length", str(tl),
         "--data_train", os.path.join(corpus, "train.json"),
         "--data_eval", os.path.join(corpus, "eval.json"),
         "--label_csv", os.path.join(corpus, "labels.csv"),
@@ -128,7 +140,7 @@ def main():
             "--output_dir", ft_dir,
             "--result_path", os.path.join(ft_dir, "result.txt"),
             "--num_workers", "8",
-        ]))
+        ] + wf))
     times["finetune_6ep"] = time.time() - t0
     print(f"[chain] finetune 6 epochs (3 phases): {times['finetune_6ep']:.1f}s",
           flush=True)
@@ -138,6 +150,7 @@ def main():
     t0 = time.time()
     ft.main(ft.get_args_parser().parse_args([
         "--dataset", "esc50", "--model", "audiomae_vit_base",
+        "--target_length", str(tl),
         "--data_eval", os.path.join(corpus, "eval.json"),
         "--label_csv", os.path.join(corpus, "labels.csv"),
         "--nb_classes", "50", "--batch_size", "64", "--epochs", "1",

@@ -32,9 +32,12 @@ def test_ast_adam_matches_torch():
     want = p.detach().numpy()
 
     # ours
+    # lrscheduler_start far out -> constant lr; iters_per_epoch must stay
+    # SMALL (make_ast_lr_fn materializes an epochs*iters host table —
+    # 10**6 here once made this single test 447 s of the smoke tier)
     tc = TrainConfig(optimizer="ast_adam", lr=lr, ast_weight_decay=wd,
                      warmup=False, lrscheduler_start=10**6)
-    lr_fn = opt_lib.make_ast_lr_fn(tc, iters_per_epoch=10**6)
+    lr_fn = opt_lib.make_ast_lr_fn(tc, iters_per_epoch=10)
     tx = opt_lib.make_ast_optimizer(tc, lr_fn)
     params = {"w": jnp.asarray(w0)}
     state = tx.init(params)
