@@ -37,10 +37,10 @@ def rng():
 # ---------------------------------------------------------------------------
 # Smoke tier: one fast, representative test per subsystem so correctness can
 # be sampled quickly (`pytest -m smoke`) instead of the ~50-min full suite.
-# Measured r5: ~7 min on this 1-core host while a TPU run's data workers
-# were active (the realistic floor here); expect ~5 min uncontended.  The
-# former 14-min reading was one pathological test (test_ast_adam_matches_torch
-# building a 10**7-entry lr table) — keep new entries to a few seconds each.
+# Measured r5: 5:34 on this 1-core host while a TPU run's data workers
+# were active (the realistic floor here).  The former 14-min reading was
+# one pathological test (test_ast_adam_matches_torch building a
+# 10**7-entry lr table) — keep new entries to a few seconds each.
 # test_multihost is excluded (a real 2-process jax.distributed run, ~3.5 min
 # alone) and test_north_star is excluded (three full-size ViT-B CPU
 # compiles); run those explicitly when touching their subsystems.
