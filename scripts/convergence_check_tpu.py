@@ -143,6 +143,11 @@ def _twin_arm(corpus, out, keep, epochs, seed=0):
         "--label_csv", os.path.join(corpus, "labels.csv"),
         "--nb_classes", "50", "--batch_size", "64",
         "--device_frontend", "true", "--num_workers", "4",
+        # HBM-resident corpus (data/device_cache.py): the round-4
+        # streamed twin averaged ~78 s/epoch; cached train epochs run
+        # <1 s (docs/BENCH_NOTES.md "Device-resident dataset cache").
+        # Batches are bit-identical (augs are off in the twin protocol).
+        "--device_dataset", "true",
         "--epochs", str(epochs), "--blr", "1e-3", "--warmup_epochs", "4",
         "--drop_loc", "(3, 6, 9)", "--seed", str(seed),
         # No SpecAug in either arm — see the module docstring: the

@@ -98,6 +98,16 @@ def get_args_parser():
                    help="datasets emit raw waveforms; fbank + SpecAug + "
                         "normalization run batched on the TPU inside the "
                         "compiled step (ops/frontend.py)")
+    p.add_argument("--device_dataset", default="auto",
+                   choices=["auto", "true", "false"],
+                   help="HBM-resident dataset cache (data/device_cache.py): "
+                        "when the per-item pipeline is deterministic (no "
+                        "host-side augs) the whole dataset transfers to the "
+                        "device once and epochs serve on-device gathers — "
+                        "bit-identical batches, no per-step host streaming. "
+                        "'auto' enables it whenever that holds and the data "
+                        "fits the cache budget; 'true' requires it (errors "
+                        "with the reason otherwise)")
     # run control
     p.add_argument("--output_dir", default="./output_dir")
     p.add_argument("--ramdisk_dir", default="")
@@ -244,19 +254,43 @@ def build_everything(args):
             f"per-host batch {args.batch_size} must be a multiple of the "
             f"local device count {jax.local_device_count()}"
         )
-    loader_train = (
-        DataLoader(
-            ds_train, args.batch_size,
-            sampler=EpochShardSampler(
-                len(ds_train), shuffle=True, seed=args.seed,
-                world=world, rank=rank,
-            ),
+
+    if getattr(args, "model_axis", 1) > 1:
+        from tpat_tpu.parallel import sharding as shd
+
+        n = jax.device_count()
+        assert n % args.model_axis == 0, (
+            f"model_axis {args.model_axis} must divide device count {n}"
+        )
+        mesh = shd.make_mesh_2d(n // args.model_axis, args.model_axis)
+    else:
+        mesh = mesh_lib.make_mesh()
+
+    from tpat_tpu.data.device_cache import maybe_device_cached
+
+    dd_mode = getattr(args, "device_dataset", "auto")
+    loader_train = None
+    if ds_train is not None:
+        train_sampler = EpochShardSampler(
+            len(ds_train), shuffle=True, seed=args.seed,
+            world=world, rank=rank,
+        )
+        loader_train = maybe_device_cached(
+            ds_train, args.batch_size, sampler=train_sampler,
+            num_workers=args.num_workers, drop_last=True,
+            mesh=mesh, mode=dd_mode, label="train set",
+        ) or DataLoader(
+            ds_train, args.batch_size, sampler=train_sampler,
             num_workers=args.num_workers, drop_last=True,
         )
-        if ds_train is not None
-        else None
-    )
-    loader_val = DataLoader(
+    # --dist_eval bypasses loader_val for its sharded generator, so a
+    # device cache there would transfer the full set for nothing
+    eval_dd_mode = "false" if (args.dist_eval and world > 1) else dd_mode
+    loader_val = maybe_device_cached(
+        ds_val, args.batch_size, shuffle=False,
+        num_workers=args.num_workers, drop_last=False,
+        mesh=mesh, mode=eval_dd_mode, label="eval set",
+    ) or DataLoader(
         ds_val, args.batch_size, shuffle=False,
         num_workers=args.num_workers, drop_last=False,
     )
@@ -310,16 +344,6 @@ def build_everything(args):
             )
             return device_frontend(x, cfg, rng=rng, train=train)
 
-    if getattr(args, "model_axis", 1) > 1:
-        from tpat_tpu.parallel import sharding as shd
-
-        n = jax.device_count()
-        assert n % args.model_axis == 0, (
-            f"model_axis {args.model_axis} must divide device count {n}"
-        )
-        mesh = shd.make_mesh_2d(n // args.model_axis, args.model_axis)
-    else:
-        mesh = mesh_lib.make_mesh()
     module = TrainModule(
         model=model,
         model_cfg=model_cfg,

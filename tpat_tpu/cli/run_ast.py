@@ -98,6 +98,10 @@ def get_parser():
     p.add_argument("--device_frontend", type=str2bool, default=False,
                    help="compute the Kaldi fbank on-device (loader emits "
                         "raw waveforms)")
+    p.add_argument("--device_dataset", default="auto",
+                   choices=["auto", "true", "false"],
+                   help="HBM-resident dataset cache (data/device_cache.py; "
+                        "see cli/finetune.py --device_dataset)")
     return p
 
 
@@ -185,7 +189,13 @@ def main(args):
         args.data_val or args.data_eval, data_cfg, args.label_csv,
         train=False, return_waveform=wf,
     )
-    loader_val = DataLoader(
+    from tpat_tpu.data.device_cache import maybe_device_cached
+
+    dd_mode = getattr(args, "device_dataset", "auto")
+    loader_val = maybe_device_cached(
+        ds_val, args.batch_size, shuffle=False,
+        num_workers=args.num_workers, mode=dd_mode, label="eval set",
+    ) or DataLoader(
         ds_val, args.batch_size, shuffle=False, num_workers=args.num_workers
     )
 
@@ -349,12 +359,18 @@ def main(args):
         args.data_train, data_cfg, args.label_csv, train=True,
         seed=args.seed, return_waveform=wf,
     )
-    loader_train = DataLoader(
-        ds_train, args.batch_size,
-        sampler=EpochShardSampler(
-            len(ds_train), shuffle=True, seed=args.seed,
-            world=world, rank=rank,
-        ),
+    from tpat_tpu.data.device_cache import maybe_device_cached
+
+    train_sampler = EpochShardSampler(
+        len(ds_train), shuffle=True, seed=args.seed,
+        world=world, rank=rank,
+    )
+    loader_train = maybe_device_cached(
+        ds_train, args.batch_size, sampler=train_sampler,
+        num_workers=args.num_workers, drop_last=True,
+        mode=getattr(args, "device_dataset", "auto"), label="train set",
+    ) or DataLoader(
+        ds_train, args.batch_size, sampler=train_sampler,
         num_workers=args.num_workers, drop_last=True,
     )
 

@@ -92,6 +92,10 @@ class AudiosetDataset:
     ):
         with open(manifest_json) as f:
             self.data: List[dict] = json.load(f)["data"]
+        # identity signature for the device cache registry
+        # (data/device_cache.py): same manifest + label map -> same items
+        self.source = (os.path.abspath(manifest_json),
+                       os.path.abspath(label_csv))
         self.cfg = data_cfg
         # waveform mode: emit fixed-length raw audio; fbank + SpecAug +
         # normalization then run batched ON DEVICE (ops/frontend.py) —
@@ -235,6 +239,8 @@ class VoxCeleb1Dataset:
     ):
         assert subset in ("train", "test")
         self.root = root
+        # identity signature for the device cache registry
+        self.source = (os.path.abspath(root), subset)
         self.cfg = data_cfg
         # waveform mode (--device_frontend): emit fixed-length raw audio
         # with the NaN head/tail contract of ops/frontend.device_frontend

@@ -176,7 +176,17 @@ def _run_batches(
         n = item[2] if len(item) > 2 else x.shape[0]
         if x.shape[0] < batch_size:  # pad to compiled shape, trim after
             pad = batch_size - x.shape[0]
-            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+            if isinstance(x, jax.Array):
+                # device-resident batch (data/device_cache.py): pad on
+                # device — np.concatenate here would fetch the whole
+                # batch over the host link just to re-upload it
+                x = jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0
+                )
+            else:
+                x = np.concatenate(
+                    [x, np.repeat(x[-1:], pad, axis=0)], axis=0
+                )
         if mesh is not None:
             x = mesh_lib.shard_batch(mesh, x)
         out = eval_step(params, jnp.asarray(x))
