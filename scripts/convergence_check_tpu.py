@@ -158,6 +158,13 @@ def _twin_arm(corpus, out, keep, epochs, seed=0):
         "--base_keep_rate", str(keep),
         "--output_dir", out,
         "--result_path", os.path.join(out, "result.txt"),
+        # best-checkpoint writes: keeper scratch on tmpfs + background
+        # writer thread, so tie-saves (AudioMAE keeps the LAST >= max
+        # epoch) overlap the next epoch instead of serializing ~1 GB of
+        # state fetch+write into every plateau epoch
+        "--ramdisk_dir", os.path.join("/dev/shm/tpat_twin",
+                                      os.path.basename(out)),
+        "--async_checkpoint", "true",
     ]
     if keep < 1.0:
         args += ["--shrink_start_epoch", "8", "--shrink_epochs", "8"]

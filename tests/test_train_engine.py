@@ -631,3 +631,48 @@ def test_train_epoch_streams_epoch1000x_scalars():
     # epoch 1, 6 iters: x = int((i/6 + 1) * 1000) for i in (0, 2, 4)
     assert steps == [1000, 1333, 1666]
     assert all(np.isfinite(v) for v, _ in loss_pts)
+
+
+def test_compiled_step_process_memo():
+    """Two equal-config modules (different seeds) share ONE compiled
+    train-step program — the process-level memo that keeps multi-run
+    harnesses (one cli.finetune per grid arm) from recompiling identical
+    programs on the slow remote-compile backend.  A config change must
+    split the cache, and the shared step must train the second module
+    correctly (its own state/optimizer, reused program)."""
+    cfg = tiny_cfg(base_keep_rate=0.6)
+
+    def tc(seed, blr=2e-3):
+        return TrainConfig(
+            batch_size=8, epochs=4, blr=blr, warmup_epochs=1,
+            shrink_start_epoch=1, shrink_epochs=1,
+            base_keep_rate=0.6, drop_loc=(1,), seed=seed,
+        )
+
+    mesh = mesh_lib.make_mesh()
+    batches = synthetic_batches(2, 8, cfg)
+
+    m0 = make_module(cfg, tc(seed=0), mesh=mesh)
+    s0 = m0.init(jnp.asarray(batches[0][0]), seed=0)
+    m1 = make_module(cfg, tc(seed=1), mesh=mesh)
+    s1 = m1.init(jnp.asarray(batches[0][0]), seed=1)
+    assert m0.compiled_step("dense") is m1.compiled_step("dense")
+    assert m0.compiled_step("static") is m1.compiled_step("static")
+    # different schedule-defining field -> different program
+    m2 = make_module(cfg, tc(seed=0, blr=1e-3), mesh=mesh)
+    m2.init(jnp.asarray(batches[0][0]), seed=0)
+    assert m2.compiled_step("dense") is not m0.compiled_step("dense")
+
+    # the reused program trains module 1's OWN state (loss decreases,
+    # step counter advances) — closures from module 0 are equivalent
+    losses = []
+    for epoch in range(3):
+        s1, stats = m1.train_epoch(s1, batches, epoch)
+        losses.append(stats["loss"])
+    assert int(jax.device_get(s1.step)) == 6
+    assert losses[-1] < losses[0]
+
+    # eval programs share the same way (equal model config)
+    e0 = eval_lib.make_eval_step(m0.model)
+    e1 = eval_lib.make_eval_step(m1.model)
+    assert e0 is e1

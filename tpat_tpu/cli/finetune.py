@@ -344,6 +344,10 @@ def build_everything(args):
             )
             return device_frontend(x, cfg, rng=rng, train=train)
 
+        # identity for the engine's process-level compiled-step memo:
+        # equal frontend configs trace to the same program
+        preprocess.cache_key = ("audiomae_frontend", fc_train)
+
     module = TrainModule(
         model=model,
         model_cfg=model_cfg,

@@ -231,6 +231,9 @@ def main(args):
             spec = device_frontend(x, fc, rng=rng, train=train)  # (B,1,T,F)
             return spec.transpose(0, 1, 3, 2)  # AST orientation
 
+        # identity for the engine's process-level compiled-step memo
+        preprocess.cache_key = ("ast_frontend", fc_train)
+
     mesh = mesh_lib.make_mesh()
 
     def init_params():

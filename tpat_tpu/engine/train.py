@@ -23,7 +23,7 @@ TPU-native form of DDP's bucketed NCCL all-reduce.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, ClassVar, Dict, Iterable, Optional, Tuple
 
 import flax.struct
 import jax
@@ -288,6 +288,38 @@ class TrainModule:
             "finite": jnp.asarray(True),
         }
 
+    # Process-level compiled-step memo.  The axon relay compiles remotely
+    # (~3-6 min per train-step variant) and the persistent compilation
+    # cache does not engage on that backend, so a process that builds
+    # several TrainModules with the SAME traced computation (the twin-grid
+    # harness: one cli.finetune run per (keep, seed) arm) would otherwise
+    # recompile identical programs once per module.  Keyed by everything
+    # the trace depends on — model config, loss, schedule-defining train
+    # fields (seed normalized out: it only feeds the PRNG input, never the
+    # graph), iters/epoch, custom_rank, the preprocess config, the mesh,
+    # and the (phase, mask_prob, static_rates) variant — so a hit is a
+    # bit-identical program, just not re-lowered.
+    _SHARED_STEPS: ClassVar[Dict[tuple, Callable]] = {}
+    _SHARED_STEPS_MAX: ClassVar[int] = 64
+
+    def _step_cache_key(self, phase, mask_prob, static_rates):
+        pp = self.preprocess
+        # CLIs attach .cache_key (the FrontendConfig); an anonymous
+        # preprocess falls back to object identity = no cross-module reuse
+        pp_key = None if pp is None else getattr(pp, "cache_key", id(pp))
+        return (
+            self.model_cfg,
+            dataclasses.replace(self.train_cfg, seed=0),
+            self.loss_type,
+            self.iters_per_epoch,
+            self.custom_rank,
+            pp_key,
+            self.mesh,
+            phase,
+            mask_prob,
+            static_rates,
+        )
+
     def compiled_step(
         self, phase: str, mask_prob: float = 0.0, static_rates=None
     ):
@@ -295,8 +327,19 @@ class TrainModule:
         if key not in self._steps:
             if not hasattr(self, "_tx"):
                 raise RuntimeError("call init_state() before compiled_step()")
-            fn = self.make_train_step(phase, mask_prob, static_rates)
-            self._steps[key] = jax.jit(fn, donate_argnums=(0, 1))
+            gkey = self._step_cache_key(phase, mask_prob, static_rates)
+            fn = TrainModule._SHARED_STEPS.get(gkey)
+            if fn is None:
+                fn = jax.jit(
+                    self.make_train_step(phase, mask_prob, static_rates),
+                    donate_argnums=(0, 1),
+                )
+                TrainModule._SHARED_STEPS[gkey] = fn
+                while len(TrainModule._SHARED_STEPS) > self._SHARED_STEPS_MAX:
+                    TrainModule._SHARED_STEPS.pop(
+                        next(iter(TrainModule._SHARED_STEPS))
+                    )
+            self._steps[key] = fn
         return self._steps[key]
 
     def _build_state(self, params, rng) -> TrainState:
