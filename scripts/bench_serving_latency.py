@@ -11,8 +11,16 @@ relay is ~1 MB/s and would swamp every number).
 
 Results are recorded in docs/BENCH_NOTES.md "Serving artifact on the
 TPU".
+
+``--device_frontend``: export and time the FUSED waveform->logits
+artifact instead (``serving.export_forward(frontend=...)``): inputs are
+raw PCM ``(n, 80000)`` (5-s clips; pad-with-min fills the remaining
+frames on device), so the number includes the on-device fbank +
+normalize — the zero-host-fbank serving path as an AOT artifact rather
+than the round-3 in-process jit (BENCH_NOTES "Raw-audio serving path").
 """
 
+import argparse
 import os
 import sys
 import tempfile
@@ -32,6 +40,11 @@ REQUESTS = (1, 8, 32, 100, 128, 200)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device_frontend", action="store_true",
+                    help="bench the fused waveform->logits artifact")
+    args = ap.parse_args()
+
     cfg = audiomae_vit_base(
         target_length=512, num_classes=50, base_keep_rate=0.7,
         drop_loc=(3, 6, 9), drop_path_rate=0.0, compute_dtype="bfloat16",
@@ -40,18 +53,29 @@ def main():
     params = model.init(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 1, 512, 128))
     )["params"]
+    kw = {}
+    if args.device_frontend:
+        from tpat_tpu.ops.frontend import FrontendConfig
+
+        kw["frontend"] = FrontendConfig()  # ESC-50 geometry defaults
+        in_shape = (1, 80000)  # 5-s PCM; pad-with-min fills frames 499-512
+    else:
+        in_shape = (1, 1, 512, 128)
     d = tempfile.mkdtemp(prefix="tpat_serving_")
     t0 = time.perf_counter()
     serving.export_forward(
-        model, params, (1, 1, 512, 128), d, batch_sizes=BUCKETS
+        model, params, in_shape, d, batch_sizes=BUCKETS, **kw
     )
     print(f"export ({len(BUCKETS)} buckets): {time.perf_counter() - t0:.1f} s")
     fn, meta = serving.load_forward(d)
-    print("meta:", meta["batch_sizes"], meta["input_shape"])
+    print("meta:", meta["batch_sizes"], meta["input_shape"],
+          "waveform-input" if args.device_frontend else "mel-input")
 
     for n in REQUESTS:
         x = jax.jit(
-            lambda k: jax.random.normal(k, (n, 1, 512, 128), jnp.float32)
+            lambda k: jax.random.normal(
+                k, (n,) + tuple(in_shape[1:]), jnp.float32
+            )
         )(jax.random.PRNGKey(n))
         float(jnp.sum(x))  # force the input to exist before timing
         out = fn(x)
