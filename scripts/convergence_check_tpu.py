@@ -165,6 +165,10 @@ def _twin_arm(corpus, out, keep, epochs, seed=0):
         "--ramdisk_dir", os.path.join("/dev/shm/tpat_twin",
                                       os.path.basename(out)),
         "--async_checkpoint", "true",
+        # best state stays HBM-resident until finalize: the per-epoch
+        # ~1 GB relay fetch of an improving/tie save (~60 s, measured
+        # round 5) would otherwise dominate every <1 s cached epoch
+        "--best_on_device", "true",
     ]
     if keep < 1.0:
         args += ["--shrink_start_epoch", "8", "--shrink_epochs", "8"]

@@ -383,6 +383,48 @@ def test_checkpoint_async_matches_sync(tmp_path):
         restored["params"]["cls_token"], cls_host, rtol=1e-6
     )
     assert restored["epoch"] == 2
+
+
+def test_checkpoint_best_on_device_snapshot(tmp_path):
+    """snapshot_on_device=True keeps the best state as an HBM-resident
+    COPY and touches disk only at finalize (one fetch per run, not one
+    per improving epoch — the mode that makes the twin grid feasible on
+    the relay).  Contract pinned here: (1) no scratch writes before
+    finalize; (2) the snapshot owns FRESH buffers, so deleting the
+    original state's arrays right after update() — what the next train
+    step's donation does for real — must not corrupt the final write;
+    (3) tie epochs replace the snapshot (AudioMAE last-wins rule)."""
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=4, epochs=2, warmup_epochs=0)
+    mod = make_module(cfg, tc)
+    batches = synthetic_batches(1, 4, cfg)
+    state = mod.init(jnp.asarray(batches[0][0]))
+
+    keeper = ckpt_lib.BestCheckpointKeeper(
+        str(tmp_path / "scratch"), str(tmp_path / "out"),
+        snapshot_on_device=True,
+    )
+    assert keeper.update(0.5, state, epoch=0)
+    state2, _ = mod.train_epoch(state, batches, 0)
+    cls_host = np.asarray(state2.params["cls_token"])
+    assert keeper.update(0.5, state2, epoch=1)  # tie -> later epoch wins
+    assert not keeper.update(0.3, state2, epoch=2)
+    # nothing on disk yet: disk work is deferred entirely to finalize
+    assert not any(
+        p.startswith("checkpoint-") for p in os.listdir(tmp_path / "scratch")
+    )
+    # simulate the next step's donation invalidating the live state
+    for leaf in jax.tree_util.tree_leaves((state2.params, state2.opt_state)):
+        if isinstance(leaf, jax.Array):
+            leaf.delete()
+    best = keeper.finalize()
+    markers = [p for p in os.listdir(tmp_path / "out") if p.startswith("best-")]
+    assert markers == ["best-001-0.5000.txt"]
+    restored = ckpt_lib.restore_checkpoint(best)
+    np.testing.assert_allclose(
+        restored["params"]["cls_token"], cls_host, rtol=1e-6
+    )
+    assert restored["epoch"] == 1
     # finalize() empties the scratch dir entirely
     assert os.listdir(tmp_path / "scratch") == []
 

@@ -115,6 +115,12 @@ def get_args_parser():
                    help="overlap best/last checkpoint disk writes with "
                         "the next epoch's training (background writer "
                         "thread; joined before reads and at exit)")
+    p.add_argument("--best_on_device", type=str2bool, default=False,
+                   help="keep the best state as an HBM-resident copy and "
+                        "fetch+write it ONCE at the end of training "
+                        "instead of per improving epoch (~60 s/epoch of "
+                        "relay fetch for ViT-B); a crash before the end "
+                        "loses the best — meant for multi-arm harnesses")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--resume", default="")
     p.add_argument("--start_epoch", default=0, type=int)
@@ -644,7 +650,8 @@ def main(args):
             )
     scratch = args.ramdisk_dir or str(out / "scratch")
     keeper = BestCheckpointKeeper(
-        scratch, str(out), async_save=args.async_checkpoint
+        scratch, str(out), async_save=args.async_checkpoint,
+        snapshot_on_device=args.best_on_device,
     )
     metric = "mAP" if args.dataset == "audioset" else "acc1"
 

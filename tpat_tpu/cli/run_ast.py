@@ -32,6 +32,10 @@ def get_parser():
     p.add_argument("--async_checkpoint", type=str2bool, default=False,
                    help="overlap best-checkpoint disk writes with the "
                         "next epoch's training (joined at finalize)")
+    p.add_argument("--best_on_device", type=str2bool, default=False,
+                   help="keep the best state as an HBM-resident copy, "
+                        "fetched+written once at finalize (see "
+                        "cli/finetune.py --best_on_device)")
     p.add_argument("--lr", "--learning-rate", default=0.001, type=float)
     p.add_argument("-b", "--batch-size", default=12, type=int)
     p.add_argument("-w", "--num-workers", default=8, type=int)
@@ -412,6 +416,7 @@ def main(args):
     keeper = BestCheckpointKeeper(
         scratch, os.path.join(args.exp_dir, "models"), ties="first",
         async_save=args.async_checkpoint,
+        snapshot_on_device=args.best_on_device,
     )
 
     import pickle

@@ -28,6 +28,32 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+# One jitted whole-tree copy, module-level: jax.jit caches per input
+# structure, so every keeper shares it and equal-structure states reuse
+# the compiled program.
+_SNAPSHOT_FN = None
+
+
+def _device_snapshot(state):
+    """On-device copy of ``state`` with FRESH buffers.
+
+    The train step donates its input state (engine/train.py
+    donate_argnums), so merely holding a reference to the best state
+    would read deleted arrays one step later; ``jnp.copy`` under a
+    single jit forces distinct output buffers (no donation -> no
+    aliasing) and preserves shardings.  One dispatch per call — never
+    per-leaf unjitted ops, which cost ~seconds each on the TPU relay.
+    """
+    global _SNAPSHOT_FN
+    if _SNAPSHOT_FN is None:
+        import jax.numpy as jnp
+
+        _SNAPSHOT_FN = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        )
+    return _SNAPSHOT_FN(state)
+
+
 # One background writer, lazily created: a SINGLE worker serializes all
 # async checkpoint writes (orbax commits tmp-dir+rename per save; ordering
 # across saves must match submission order so "delete the previous best"
@@ -153,6 +179,7 @@ class BestCheckpointKeeper:
         output_dir: str,
         ties: str = "last",
         async_save: bool = False,
+        snapshot_on_device: bool = False,
     ):
         self.scratch_dir = scratch_dir
         self.output_dir = output_dir
@@ -168,6 +195,18 @@ class BestCheckpointKeeper:
         # and re-raises, so a failed write cannot silently lose the best.
         self.async_save = async_save
         self._futures: list = []
+        # snapshot_on_device keeps the best state as an HBM-resident copy
+        # and touches disk ONLY in finalize: one device->host fetch per
+        # RUN instead of one per improving/tie epoch.  On the axon relay
+        # the per-epoch fetch of a ViT-B state (~1 GB) costs ~60 s, which
+        # dominates a device-cached epoch (<1 s) — this mode is what makes
+        # multi-arm harnesses (the twin grid) feasible.  Trade-off: a
+        # crash before finalize loses the best (nothing is persisted
+        # mid-run), so prefer async_save for long single runs and
+        # snapshot_on_device for many short arms.  Costs one extra state
+        # copy of HBM (~1 GB for ViT-B f32 state; v5e has 16 GB).
+        self.snapshot_on_device = snapshot_on_device
+        self._snapshot = None  # (device state copy, epoch)
 
     def track(self, score: float, epoch: int) -> bool:
         """Update best_score/best_epoch per the tie rule WITHOUT touching
@@ -206,6 +245,11 @@ class BestCheckpointKeeper:
         prev = (self.best_score, self.best_epoch)
         if not self.track(score, epoch):
             return False
+        if self.snapshot_on_device:
+            # no disk, no host fetch: replace the HBM-resident best copy
+            # (tie-saves replace it too, preserving the ties rule above)
+            self._snapshot = (_device_snapshot(state), epoch)
+            return True
         new_name = f"checkpoint-{epoch:03d}"
         new_path = os.path.join(self.scratch_dir, new_name)
 
@@ -268,6 +312,17 @@ class BestCheckpointKeeper:
         # re-raising, so a loud failure never destroys the best
         # recoverable model (the pre-round-4 order raised first and lost
         # it).
+        if self._snapshot is not None:
+            # snapshot mode's single device->host fetch + write: land the
+            # HBM-resident best in the scratch dir so the marker/copy
+            # logic below sees the same layout as the per-epoch modes
+            snap, epoch = self._snapshot
+            save_checkpoint(
+                os.path.join(self.scratch_dir, f"checkpoint-{epoch:03d}"),
+                snap,
+                epoch,
+            )
+            self._snapshot = None
         pending, self._futures = self._futures, []
         errors = []
         for f in pending:
